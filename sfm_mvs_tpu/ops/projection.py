@@ -1,0 +1,119 @@
+"""Pinhole projection and homogeneous-coordinate kernels.
+
+TPU-native replacement for ``cv2.projectPoints`` (sfm.py:88,121),
+``cv2.convertPointsFromHomogeneous`` / ``ToHomogeneous`` (sfm.py:86,351;
+test.py:19,22) and the reference's mean-reprojection audit
+(``ReprojectionError``, sfm.py:79-100). All point arrays are fixed-capacity
+with boolean validity masks so the whole pipeline stays jit-compatible.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+_EPS = 1e-12
+
+
+def to_homogeneous(pts: jnp.ndarray) -> jnp.ndarray:
+    """(..., D) -> (..., D+1) by appending ones."""
+    return jnp.concatenate([pts, jnp.ones_like(pts[..., :1])], axis=-1)
+
+
+def from_homogeneous(pts: jnp.ndarray) -> jnp.ndarray:
+    """(..., D+1) -> (..., D) by dividing by the last coordinate."""
+    w = pts[..., -1:]
+    return pts[..., :-1] / jnp.where(jnp.abs(w) < _EPS, _EPS, w)
+
+
+def compose_projection(K: jnp.ndarray, Rt: jnp.ndarray) -> jnp.ndarray:
+    """P = K [R|t]. K: (..., 3, 3), Rt: (..., 3, 4) -> (..., 3, 4)."""
+    return K @ Rt
+
+
+def project(points: jnp.ndarray, Rt: jnp.ndarray, K: jnp.ndarray) -> jnp.ndarray:
+    """Project world points into pixel coordinates.
+
+    points: (N, 3); Rt: (3, 4); K: (3, 3). Returns (N, 2).
+    Equivalent to cv2.projectPoints with zero distortion (sfm.py:88).
+    """
+    Xc = points @ Rt[:3, :3].T + Rt[:3, 3]
+    uv = Xc @ K.T
+    return from_homogeneous(uv)
+
+
+def project_depth(points: jnp.ndarray, Rt: jnp.ndarray, K: jnp.ndarray):
+    """Like :func:`project` but also returns the camera-frame depth (N,)."""
+    Xc = points @ Rt[:3, :3].T + Rt[:3, 3]
+    uv = Xc @ K.T
+    return from_homogeneous(uv), Xc[..., 2]
+
+
+def reprojection_residuals(
+    points: jnp.ndarray, observed: jnp.ndarray, Rt: jnp.ndarray, K: jnp.ndarray
+) -> jnp.ndarray:
+    """Per-point 2D pixel residual (projected - observed). (N, 2)."""
+    return project(points, Rt, K) - observed
+
+
+def masked_mean_reprojection_error(
+    points: jnp.ndarray,
+    observed: jnp.ndarray,
+    Rt: jnp.ndarray,
+    K: jnp.ndarray,
+    mask: jnp.ndarray,
+) -> jnp.ndarray:
+    """Mean L2 pixel reprojection error over valid entries.
+
+    Matches the reference audit semantics (sfm.py:93-97: cv2.norm(...,
+    NORM_L2)/len = sqrt(sum of squared coordinate diffs) / N) — NOT the mean
+    of per-point L2 norms. Kept bug-compatible so printed errors are directly
+    comparable to the reference's.
+    """
+    res = reprojection_residuals(points, observed, Rt, K)
+    sq = jnp.sum(jnp.where(mask[:, None], res * res, 0.0))
+    n = jnp.maximum(jnp.sum(mask), 1)
+    return jnp.sqrt(sq) / n
+
+
+def masked_rms_reprojection_error(
+    points: jnp.ndarray,
+    observed: jnp.ndarray,
+    Rt: jnp.ndarray,
+    K: jnp.ndarray,
+    mask: jnp.ndarray,
+) -> jnp.ndarray:
+    """RMS per-point reprojection error in pixels (the standard SfM metric)."""
+    res = reprojection_residuals(points, observed, Rt, K)
+    sq = jnp.sum(jnp.where(mask[:, None], res * res, 0.0), axis=-1)
+    n = jnp.maximum(jnp.sum(mask), 1)
+    return jnp.sqrt(jnp.sum(jnp.where(mask, sq, 0.0)) / n)
+
+
+def normalize_points(pts: jnp.ndarray, K: jnp.ndarray) -> jnp.ndarray:
+    """Pixel coords -> normalized camera coords via K^{-1}. pts: (N, 2)."""
+    fx, fy = K[0, 0], K[1, 1]
+    cx, cy = K[0, 2], K[1, 2]
+    skew = K[0, 1]
+    y = (pts[..., 1] - cy) / fy
+    x = (pts[..., 0] - cx - skew * y) / fx
+    return jnp.stack([x, y], axis=-1)
+
+
+def hartley_normalization(pts: jnp.ndarray, mask: jnp.ndarray):
+    """Similarity transform T s.t. T*pts has zero mean and RMS distance sqrt(2).
+
+    Standard conditioning for DLT / 8-point in float32. pts: (N, 2),
+    mask: (N,). Returns (pts_normalized (N,2), T (3,3)).
+    """
+    m = mask.astype(pts.dtype)[:, None]
+    n = jnp.maximum(jnp.sum(m), 1.0)
+    mean = jnp.sum(pts * m, axis=0) / n
+    centered = pts - mean
+    rms = jnp.sqrt(jnp.sum(jnp.sum(centered * centered, axis=-1) * m[:, 0]) / n)
+    scale = jnp.sqrt(2.0) / jnp.maximum(rms, _EPS)
+    T = jnp.array(
+        [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]], dtype=pts.dtype
+    )
+    T = T.at[0, 0].set(scale).at[1, 1].set(scale)
+    T = T.at[0, 2].set(-scale * mean[0]).at[1, 2].set(-scale * mean[1])
+    return centered * scale, T

@@ -1,0 +1,182 @@
+"""Vectorized RANSAC: one batched hypothesis-score-select engine.
+
+Replaces OpenCV's sequential C++ RANSAC loops (``cv2.findEssentialMat``
+sfm.py:307, ``cv2.solvePnPRansac`` sfm.py:67, ``cv2.findHomography``
+test.py:259) with the TPU idiom from SURVEY.md §7: draw ALL hypothesis
+minimal samples at once, ``vmap`` the minimal solver over the hypothesis
+batch, score every hypothesis against every correspondence as one dense
+masked computation, and ``argmax`` the inlier count. Fixed shapes
+throughout; validity is carried by masks. After selection, the model is
+re-fit on its inliers (inlier-weighted least squares) for `refit_rounds`
+rounds — the vectorized analog of OpenCV's final refinement.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from sfm_mvs_tpu.ops import epipolar, homography, masking, pnp
+
+
+class RansacResult(NamedTuple):
+    model: jnp.ndarray  # best model parameters
+    inliers: jnp.ndarray  # (N,) boolean inlier mask (in original order)
+    num_inliers: jnp.ndarray  # scalar int
+
+
+def _sample_indices(key, iters: int, sample_size: int, count: jnp.ndarray, capacity: int):
+    """(iters, sample_size) int32 indices uniform in [0, count).
+
+    Sampling is i.i.d. (collisions possible); a collided sample yields a
+    degenerate hypothesis which simply loses the argmax — with thousands of
+    hypotheses this costs nothing and avoids per-hypothesis top-k machinery.
+    """
+    u = jax.random.uniform(key, (iters, sample_size))
+    cnt = jnp.maximum(count, sample_size).astype(u.dtype)
+    idx = jnp.floor(u * cnt).astype(jnp.int32)
+    return jnp.clip(idx, 0, capacity - 1)
+
+
+def _select_and_count(residuals, mask, threshold):
+    """residuals: (iters, N); mask: (N,). Returns (best_idx, counts)."""
+    inl = (residuals < threshold) & mask[None, :]
+    counts = jnp.sum(inl, axis=1)
+    best = jnp.argmax(counts)
+    return best, inl, counts
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def ransac_essential(
+    key,
+    norm0: jnp.ndarray,
+    norm1: jnp.ndarray,
+    mask: jnp.ndarray,
+    focal: jnp.ndarray,
+    threshold_px: float = 1.0,
+    iters: int = 2048,
+    refit_rounds: int = 2,
+) -> RansacResult:
+    """Essential matrix via vmapped 8-point RANSAC.
+
+    norm0, norm1: (N, 2) K^-1-normalized correspondences; mask: (N,) valid;
+    focal: pixel focal length used to express Sampson distance in ~pixels so
+    `threshold_px` is comparable to the reference's (0.4px at sfm.py:307 —
+    we default 1.0 since the 8-point minimal solver is noisier than Nister's
+    5-point but refit recovers the precision).
+    """
+    N = norm0.shape[0]
+    count, cmask, c0, c1 = masking.compact(mask, norm0, norm1)
+    k1, _ = jax.random.split(key)
+    idx = _sample_indices(k1, iters, 8, count, N)
+
+    def solve(sample_idx):
+        return epipolar.essential_eight_point(c0[sample_idx], c1[sample_idx])
+
+    Es = jax.vmap(solve)(idx)  # (iters, 3, 3)
+
+    def score(E):
+        return epipolar.epipolar_residual_pixels(E, norm0, norm1, focal)
+
+    residuals = jax.vmap(score)(Es)  # (iters, N)
+    best, inl, counts = _select_and_count(residuals, mask, threshold_px)
+    E = Es[best]
+    inliers = inl[best]
+
+    # Inlier-weighted refits (all correspondences, weights = inlier mask).
+    def refit(_, carry):
+        E, inliers = carry
+        w = inliers.astype(norm0.dtype)
+        E = epipolar.essential_eight_point(norm0, norm1, w)
+        res = epipolar.epipolar_residual_pixels(E, norm0, norm1, focal)
+        return E, (res < threshold_px) & mask
+
+    E, inliers = jax.lax.fori_loop(0, refit_rounds, refit, (E, inliers))
+    return RansacResult(E, inliers, jnp.sum(inliers))
+
+
+@partial(jax.jit, static_argnames=("iters", "refine_iters"))
+def ransac_pnp(
+    key,
+    X: jnp.ndarray,
+    uv_pix: jnp.ndarray,
+    uv_norm: jnp.ndarray,
+    mask: jnp.ndarray,
+    K: jnp.ndarray,
+    threshold_px: float = 4.0,
+    iters: int = 1024,
+    refine_iters: int = 10,
+) -> RansacResult:
+    """Pose via vmapped 6-point DLT-PnP RANSAC + Gauss-Newton polish.
+
+    X: (N, 3) world points; uv_pix: (N, 2) pixels; uv_norm: K^-1 pixels.
+    Returns model = Rt (3, 4).
+    """
+    N = X.shape[0]
+    count, cmask, cX, cuvn = masking.compact(mask, X, uv_norm)
+    k1, _ = jax.random.split(key)
+    idx = _sample_indices(k1, iters, 6, count, N)
+
+    def solve(sample_idx):
+        return pnp.pnp_dlt(cX[sample_idx], cuvn[sample_idx])
+
+    Rts = jax.vmap(solve)(idx)  # (iters, 3, 4)
+
+    def score(Rt):
+        return pnp.pnp_residual_pixels(Rt, X, uv_pix, K)
+
+    residuals = jax.vmap(score)(Rts)
+    best, inl, counts = _select_and_count(residuals, mask, threshold_px)
+    Rt = Rts[best]
+    inliers = inl[best]
+
+    # DLT refit on all inliers, then damped Gauss-Newton polish.
+    Rt = pnp.pnp_dlt(X, uv_norm, inliers.astype(X.dtype))
+    res = pnp.pnp_residual_pixels(Rt, X, uv_pix, K)
+    inliers = (res < threshold_px) & mask
+    Rt = pnp.refine_pose_gauss_newton(Rt, X, uv_pix, inliers, K, iters=refine_iters)
+    res = pnp.pnp_residual_pixels(Rt, X, uv_pix, K)
+    inliers = (res < threshold_px) & mask
+    return RansacResult(Rt, inliers, jnp.sum(inliers))
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def ransac_homography(
+    key,
+    pts1: jnp.ndarray,
+    pts2: jnp.ndarray,
+    mask: jnp.ndarray,
+    threshold_px: float = 4.0,
+    iters: int = 1024,
+    refit_rounds: int = 2,
+) -> RansacResult:
+    """Homography via vmapped 4-point DLT RANSAC. pts in pixels."""
+    N = pts1.shape[0]
+    count, cmask, c1, c2 = masking.compact(mask, pts1, pts2)
+    k1, _ = jax.random.split(key)
+    idx = _sample_indices(k1, iters, 4, count, N)
+
+    def solve(sample_idx):
+        return homography.homography_dlt(c1[sample_idx], c2[sample_idx])
+
+    Hs = jax.vmap(solve)(idx)
+
+    def score(H):
+        return homography.transfer_error(H, pts1, pts2)
+
+    residuals = jax.vmap(score)(Hs)
+    best, inl, counts = _select_and_count(residuals, mask, threshold_px)
+    H = Hs[best]
+    inliers = inl[best]
+
+    def refit(_, carry):
+        H, inliers = carry
+        H = homography.homography_dlt(pts1, pts2, inliers.astype(pts1.dtype))
+        res = homography.transfer_error(H, pts1, pts2)
+        return H, (res < threshold_px) & mask
+
+    H, inliers = jax.lax.fori_loop(0, refit_rounds, refit, (H, inliers))
+    return RansacResult(H, inliers, jnp.sum(inliers))

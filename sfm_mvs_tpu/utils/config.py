@@ -1,0 +1,128 @@
+"""Configuration for the SfM pipeline.
+
+The reference has no config system — all tunables are module globals one is
+instructed to edit in-source (K at sfm.py:16, downscale sfm.py:19, img_dir
+sfm.py:30, bundle_adjustment sfm.py:33, Lowe ratio sfm.py:264, RANSAC params
+sfm.py:307, gtol sfm.py:337; README.md:12 says "edit Line 30"). Here every
+tunable is a dataclass field with a CLI flag (see cli.py).
+
+Capacity fields deserve a note: TPU/XLA requires static shapes, so feature
+counts, match counts and map sizes are fixed capacities with validity masks
+(SURVEY.md §7 "fixed-capacity, masked, batched state"). Defaults are sized
+for the reference's Gustav sequence (57 images at 968x648).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class FrontendConfig:
+    """Feature detection + matching (reference: sfm.py:242-270)."""
+
+    # SIFT-style detector
+    num_octaves: int = 4
+    scales_per_octave: int = 3
+    sigma0: float = 1.6
+    contrast_threshold: float = 0.0138  # ~0.04/3 in [0,1] image scale, per-DoG-step
+    edge_threshold: float = 10.0
+    max_features: int = 4096  # fixed capacity per image (top-K by response)
+    descriptor_width: int = 4  # 4x4 spatial bins
+    descriptor_bins: int = 8  # orientation bins -> 128-d descriptor
+    # Matching
+    lowe_ratio: float = 0.70  # sfm.py:264
+    mutual_check: bool = False  # reference BFMatcher.knnMatch is one-directional
+    max_matches: int = 4096  # fixed capacity
+
+
+@dataclasses.dataclass
+class RansacConfig:
+    """Vectorized RANSAC (replaces OpenCV RANSAC, sfm.py:307 / sfm.py:67)."""
+
+    essential_iters: int = 2048  # hypothesis batch (vmapped, one shot)
+    essential_threshold_px: float = 1.0
+    pnp_iters: int = 1024
+    pnp_threshold_px: float = 4.0
+    homography_iters: int = 1024
+    homography_threshold_px: float = 4.0
+    refit_rounds: int = 2  # inlier-weighted refits after hypothesis selection
+    seed: int = 0
+
+
+@dataclasses.dataclass
+class BaConfig:
+    """Sparse-Schur Levenberg-Marquardt bundle adjustment.
+
+    Replaces the reference's dense finite-difference TRF (sfm.py:104-157);
+    parameterization follows its notebook prototype (cameras 6-dof + points,
+    observations fixed) — not sfm.py's defective pack that optimizes the 2D
+    observations and K jointly (sfm.py:141-143).
+    """
+
+    enabled: bool = False  # reference default: bundle_adjustment=False (sfm.py:33)
+    max_iterations: int = 20
+    cadence: int = 1  # run BA every K registered frames
+    damping_init: float = 1e-3
+    damping_up: float = 4.0
+    damping_down: float = 2.0
+    local_window: int = 0  # 0 = global BA; else optimize last-K cameras
+
+
+@dataclasses.dataclass
+class MapConfig:
+    """Fixed-capacity map store (SURVEY.md §7 item 4)."""
+
+    max_cameras: int = 64
+    max_points: int = 262_144
+    max_obs: int = 1_048_576
+
+
+@dataclasses.dataclass
+class SfmConfig:
+    """Top-level pipeline configuration."""
+
+    # Intrinsics: fx, fy, cx, cy, skew (reference hardcodes K at sfm.py:16)
+    fx: float = 2393.952166119461
+    fy: float = 2398.118540286656
+    cx: float = 932.3821770809047
+    cy: float = 628.2649953288065
+    skew: float = 0.0
+    downscale: int = 2  # powers of two, divides K (sfm.py:19-23)
+
+    image_dir: str = ""
+    output_dir: str = "Point_Cloud"
+    max_images: Optional[int] = None
+
+    frontend: FrontendConfig = dataclasses.field(default_factory=FrontendConfig)
+    ransac: RansacConfig = dataclasses.field(default_factory=RansacConfig)
+    ba: BaConfig = dataclasses.field(default_factory=BaConfig)
+    map: MapConfig = dataclasses.field(default_factory=MapConfig)
+
+    # Cloud export semantics (sfm.py:170-181): x200 scale, mean+300 cutoff.
+    ply_scale: float = 200.0
+    ply_outlier_offset: float = 300.0
+
+    # Sharding
+    mesh_shape: Tuple[int, ...] = (1,)
+    mesh_axis_names: Tuple[str, ...] = ("data",)
+
+    def intrinsic_matrix(self) -> np.ndarray:
+        """K after downscale division (reference sfm.py:19-23)."""
+        d = float(self.downscale)
+        return np.array(
+            [
+                [self.fx / d, self.skew, self.cx / d],
+                [0.0, self.fy / d, self.cy / d],
+                [0.0, 0.0, 1.0],
+            ],
+            dtype=np.float32,
+        )
+
+    @staticmethod
+    def for_gustav() -> "SfmConfig":
+        """Reference-equivalent configuration for the Gustav sequence."""
+        return SfmConfig()

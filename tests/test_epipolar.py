@@ -1,0 +1,115 @@
+"""Essential-matrix estimation + pose recovery vs ground truth and cv2."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from sfm_mvs_tpu.ops import epipolar, projection
+from sfm_mvs_tpu.utils.synthetic import make_scene
+
+cv2 = pytest.importorskip("cv2")
+
+
+def _two_view(seed=0, noise=0.0, n=256):
+    scene = make_scene(num_points=n, num_cameras=2, seed=seed)
+    uv0, _ = scene.project(0)
+    uv1, _ = scene.project(1)
+    if noise:
+        r = np.random.default_rng(seed + 1)
+        uv0 = uv0 + r.normal(scale=noise, size=uv0.shape)
+        uv1 = uv1 + r.normal(scale=noise, size=uv1.shape)
+    # relative pose cam0 -> cam1
+    R0, t0 = scene.Rt[0, :, :3], scene.Rt[0, :, 3]
+    R1, t1 = scene.Rt[1, :, :3], scene.Rt[1, :, 3]
+    R_rel = R1 @ R0.T
+    t_rel = t1 - R_rel @ t0
+    n0 = np.asarray(projection.normalize_points(jnp.asarray(uv0.astype(np.float32)), jnp.asarray(scene.K)))
+    n1 = np.asarray(projection.normalize_points(jnp.asarray(uv1.astype(np.float32)), jnp.asarray(scene.K)))
+    return scene, n0, n1, R_rel, t_rel
+
+
+def _essential_from_pose(R, t):
+    tx = np.array([[0, -t[2], t[1]], [t[2], 0, -t[0]], [-t[1], t[0], 0]])
+    return tx @ R
+
+
+def test_eight_point_recovers_E():
+    _, n0, n1, R_rel, t_rel = _two_view()
+    E = np.asarray(epipolar.essential_eight_point(jnp.asarray(n0), jnp.asarray(n1)))
+    E_true = _essential_from_pose(R_rel, t_rel / np.linalg.norm(t_rel))
+    E_true /= np.linalg.norm(E_true)
+    E_est = E / np.linalg.norm(E)
+    if np.sum(E_est * E_true) < 0:
+        E_est = -E_est
+    assert np.abs(E_est - E_true).max() < 1e-4
+
+
+def test_sampson_error_zero_for_inliers():
+    _, n0, n1, R_rel, t_rel = _two_view()
+    E = epipolar.essential_eight_point(jnp.asarray(n0), jnp.asarray(n1))
+    err = np.asarray(epipolar.sampson_error(E, jnp.asarray(n0), jnp.asarray(n1)))
+    assert err.max() < 1e-6
+
+
+def test_recover_pose_matches_truth():
+    _, n0, n1, R_rel, t_rel = _two_view()
+    E = epipolar.essential_eight_point(jnp.asarray(n0), jnp.asarray(n1))
+    mask = jnp.ones(n0.shape[0], dtype=bool)
+    R, t, cheir = epipolar.recover_pose(E, jnp.asarray(n0), jnp.asarray(n1), mask)
+    R, t = np.asarray(R), np.asarray(t)
+    np.testing.assert_allclose(R, R_rel, atol=1e-3)
+    t_unit = t_rel / np.linalg.norm(t_rel)
+    np.testing.assert_allclose(t, t_unit, atol=1e-3)
+    assert np.asarray(cheir).mean() > 0.99
+
+
+def test_recover_pose_matches_cv2_with_noise():
+    scene, n0, n1, R_rel, t_rel = _two_view(noise=0.5)
+    E = epipolar.essential_eight_point(
+        jnp.asarray(n0.astype(np.float32)), jnp.asarray(n1.astype(np.float32))
+    )
+    mask = jnp.ones(n0.shape[0], dtype=bool)
+    R, t, _ = epipolar.recover_pose(E, jnp.asarray(n0.astype(np.float32)), jnp.asarray(n1.astype(np.float32)), mask)
+    # cv2 oracle on the same normalized points
+    E_cv, _ = cv2.findEssentialMat(n0, n1, np.eye(3), method=cv2.LMEDS)
+    _, R_cv, t_cv, _ = cv2.recoverPose(E_cv, n0, n1, np.eye(3))
+    # both should be close to ground truth
+    assert np.abs(np.asarray(R) - R_rel).max() < 0.02
+    assert np.abs(np.asarray(R_cv) - R_rel).max() < 0.02
+
+
+def test_weighted_masking():
+    _, n0, n1, R_rel, t_rel = _two_view(n=64)
+    # corrupt half the points; zero weights must mask them out
+    n0c = n0.copy()
+    n0c[32:] += 0.3
+    w = (np.arange(64) < 32).astype(np.float32)
+    E = np.asarray(
+        epipolar.essential_eight_point(
+            jnp.asarray(n0c.astype(np.float32)),
+            jnp.asarray(n1.astype(np.float32)),
+            jnp.asarray(w),
+        )
+    )
+    E_true = _essential_from_pose(R_rel, t_rel / np.linalg.norm(t_rel))
+    E_true /= np.linalg.norm(E_true)
+    E_est = E / np.linalg.norm(E)
+    if np.sum(E_est * E_true) < 0:
+        E_est = -E_est
+    assert np.abs(E_est - E_true).max() < 1e-3
+
+
+def test_fundamental_eight_point():
+    scene = make_scene(num_points=128, num_cameras=2, seed=7)
+    uv0, _ = scene.project(0)
+    uv1, _ = scene.project(1)
+    F = np.asarray(
+        epipolar.fundamental_eight_point(
+            jnp.asarray(uv0.astype(np.float32)), jnp.asarray(uv1.astype(np.float32))
+        )
+    )
+    x0 = np.concatenate([uv0, np.ones((128, 1))], axis=1)
+    x1 = np.concatenate([uv1, np.ones((128, 1))], axis=1)
+    resid = np.abs(np.sum(x1 * (x0 @ F.T), axis=1))
+    assert np.median(resid) < 1e-2

@@ -1,0 +1,104 @@
+"""Vectorized RANSAC: outlier rejection on synthetic correspondences."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from sfm_mvs_tpu.ops import masking, projection, ransac
+from sfm_mvs_tpu.ops.epipolar import recover_pose
+from sfm_mvs_tpu.utils.synthetic import make_scene
+
+
+def _corrupt(rng, uv, frac):
+    uv = uv.copy()
+    n = uv.shape[0]
+    n_out = int(n * frac)
+    out_idx = rng.choice(n, size=n_out, replace=False)
+    uv[out_idx] = rng.uniform(0, 600, size=(n_out, 2))
+    return uv, out_idx
+
+
+def test_compact():
+    mask = jnp.asarray([False, True, False, True, True])
+    vals = jnp.arange(5.0)
+    count, cmask, cvals = masking.compact(mask, vals)
+    assert int(count) == 3
+    np.testing.assert_array_equal(np.asarray(cvals[:3]), [1.0, 3.0, 4.0])
+    np.testing.assert_array_equal(np.asarray(cmask[:3]), True)
+
+
+def test_ransac_essential_with_outliers(rng):
+    scene = make_scene(num_points=512, num_cameras=2)
+    uv0, _ = scene.project(0)
+    uv1, _ = scene.project(1)
+    uv1_c, out_idx = _corrupt(rng, uv1, 0.35)
+    K = jnp.asarray(scene.K)
+    n0 = projection.normalize_points(jnp.asarray(uv0.astype(np.float32)), K)
+    n1 = projection.normalize_points(jnp.asarray(uv1_c.astype(np.float32)), K)
+    mask = jnp.ones(512, dtype=bool)
+    res = ransac.ransac_essential(
+        jax.random.PRNGKey(0), n0, n1, mask, K[0, 0], threshold_px=1.0, iters=512
+    )
+    inl = np.asarray(res.inliers)
+    assert not inl[out_idx].any()  # no outlier classified as inlier
+    assert inl.sum() > 0.6 * (512 - len(out_idx))
+    # recovered relative pose should match ground truth
+    R0, t0 = scene.Rt[0, :, :3], scene.Rt[0, :, 3]
+    R1, t1 = scene.Rt[1, :, :3], scene.Rt[1, :, 3]
+    R_rel = R1 @ R0.T
+    t_rel = t1 - R_rel @ t0
+    t_rel /= np.linalg.norm(t_rel)
+    R, t, _ = recover_pose(res.model, n0, n1, res.inliers)
+    assert np.abs(np.asarray(R) - R_rel).max() < 5e-3
+    assert np.abs(np.asarray(t) - t_rel).max() < 5e-3
+
+
+def test_ransac_pnp_with_outliers(rng):
+    scene = make_scene(num_points=512, num_cameras=2, seed=2)
+    uv, _ = scene.project(1)
+    uv_c, out_idx = _corrupt(rng, uv, 0.3)
+    K = jnp.asarray(scene.K)
+    uv_c = uv_c.astype(np.float32)
+    uvn = projection.normalize_points(jnp.asarray(uv_c), K)
+    mask = jnp.ones(512, dtype=bool)
+    res = ransac.ransac_pnp(
+        jax.random.PRNGKey(1), jnp.asarray(scene.points), jnp.asarray(uv_c), uvn,
+        mask, K, threshold_px=3.0, iters=512,
+    )
+    Rt = np.asarray(res.model)
+    np.testing.assert_allclose(Rt[:, :3], scene.Rt[1][:, :3], atol=1e-3)
+    np.testing.assert_allclose(Rt[:, 3], scene.Rt[1][:, 3], atol=1e-2)
+    assert not np.asarray(res.inliers)[out_idx].any()
+
+
+def test_ransac_homography_with_outliers(rng):
+    H_true = np.array([[1.1, 0.02, 5.0], [-0.03, 0.95, -3.0], [1e-4, -2e-4, 1.0]])
+    pts1 = rng.uniform(0, 500, size=(256, 2))
+    h = np.concatenate([pts1, np.ones((256, 1))], axis=1) @ H_true.T
+    pts2 = h[:, :2] / h[:, 2:3]
+    pts2_c, out_idx = _corrupt(rng, pts2, 0.3)
+    res = ransac.ransac_homography(
+        jax.random.PRNGKey(2), jnp.asarray(pts1.astype(np.float32)),
+        jnp.asarray(pts2_c.astype(np.float32)), jnp.ones(256, dtype=bool),
+        threshold_px=2.0, iters=512,
+    )
+    H = np.asarray(res.model)
+    H = H / H[2, 2]
+    np.testing.assert_allclose(H, H_true, atol=1e-2)
+    assert not np.asarray(res.inliers)[out_idx].any()
+
+
+def test_ransac_respects_input_mask(rng):
+    """Entries masked invalid must never come back as inliers."""
+    scene = make_scene(num_points=256, num_cameras=2, seed=5)
+    uv0, _ = scene.project(0)
+    uv1, _ = scene.project(1)
+    K = jnp.asarray(scene.K)
+    n0 = projection.normalize_points(jnp.asarray(uv0.astype(np.float32)), K)
+    n1 = projection.normalize_points(jnp.asarray(uv1.astype(np.float32)), K)
+    mask = jnp.arange(256) < 200
+    res = ransac.ransac_essential(
+        jax.random.PRNGKey(3), n0, n1, mask, K[0, 0], iters=256
+    )
+    assert not np.asarray(res.inliers)[200:].any()
