@@ -20,7 +20,7 @@ from typing import Optional, Tuple
 import numpy as np
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class FrontendConfig:
     """Feature detection + matching (reference: sfm.py:242-270)."""
 
@@ -28,7 +28,8 @@ class FrontendConfig:
     num_octaves: int = 4
     scales_per_octave: int = 3
     sigma0: float = 1.6
-    contrast_threshold: float = 0.0138  # ~0.04/3 in [0,1] image scale, per-DoG-step
+    upsample_input: bool = True  # double the image first, like OpenCV SIFT
+    contrast_threshold: float = 0.04  # on [0,1] images; applied as thresh/scales_per_octave
     edge_threshold: float = 10.0
     max_features: int = 4096  # fixed capacity per image (top-K by response)
     descriptor_width: int = 4  # 4x4 spatial bins
@@ -39,7 +40,7 @@ class FrontendConfig:
     max_matches: int = 4096  # fixed capacity
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class RansacConfig:
     """Vectorized RANSAC (replaces OpenCV RANSAC, sfm.py:307 / sfm.py:67)."""
 
@@ -53,7 +54,7 @@ class RansacConfig:
     seed: int = 0
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class BaConfig:
     """Sparse-Schur Levenberg-Marquardt bundle adjustment.
 
@@ -72,7 +73,7 @@ class BaConfig:
     local_window: int = 0  # 0 = global BA; else optimize last-K cameras
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class MapConfig:
     """Fixed-capacity map store (SURVEY.md §7 item 4)."""
 
@@ -81,7 +82,7 @@ class MapConfig:
     max_obs: int = 1_048_576
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class SfmConfig:
     """Top-level pipeline configuration."""
 

@@ -100,6 +100,225 @@ def make_texture(size: int = 1024, seed: int = 0, octaves: int = 5) -> np.ndarra
     return tex
 
 
+def render_splat_sequence(
+    num_cameras: int = 8,
+    num_points: int = 3000,
+    image_size=(320, 240),
+    focal: float = 400.0,
+    radius: float = 6.0,
+    arc_degrees: float = 60.0,
+    seed: int = 0,
+    splat_sigma: float = 1.6,
+):
+    """Render a 3D Gaussian-splat point cloud from a camera ring.
+
+    Each world point becomes a small Gaussian blob whose screen size scales
+    with inverse depth — a genuinely 3D scene (no planar degeneracy for the
+    8-point solver) with well-localized, scale-varying blob features that a
+    DoG detector finds reliably. Returns (images, Scene).
+    """
+    scene = make_scene(
+        num_points=num_points,
+        num_cameras=num_cameras,
+        radius=radius,
+        arc_degrees=arc_degrees,
+        seed=seed,
+        image_size=image_size,
+        focal=focal,
+    )
+    rng = np.random.default_rng(seed + 99)
+    amp = 0.35 + 0.65 * rng.random(num_points).astype(np.float32)
+    sizes = 0.7 + 0.8 * rng.random(num_points).astype(np.float32)
+    W, H = image_size
+    ref_depth = radius
+    images = []
+    for c in range(num_cameras):
+        uv, depth = scene.project(c)
+        img = np.zeros((H, W), dtype=np.float32)
+        sig = splat_sigma * sizes * (ref_depth / np.maximum(depth, 0.5))
+        r = np.maximum((3.0 * sig).astype(int), 1)
+        vis = (depth > 0.5) & (uv[:, 0] > -20) & (uv[:, 0] < W + 20) & (
+            uv[:, 1] > -20
+        ) & (uv[:, 1] < H + 20)
+        order = np.argsort(-depth)  # far first; near splats overwrite via max
+        for p in order:
+            if not vis[p]:
+                continue
+            cx, cy = uv[p]
+            rr = int(r[p])
+            x0, x1 = int(np.floor(cx)) - rr, int(np.floor(cx)) + rr + 1
+            y0, y1 = int(np.floor(cy)) - rr, int(np.floor(cy)) + rr + 1
+            x0c, x1c = max(x0, 0), min(x1, W)
+            y0c, y1c = max(y0, 0), min(y1, H)
+            if x0c >= x1c or y0c >= y1c:
+                continue
+            xs = np.arange(x0c, x1c) - cx
+            ys = np.arange(y0c, y1c) - cy
+            g = amp[p] * np.exp(
+                -(xs[None, :] ** 2 + ys[:, None] ** 2) / (2.0 * sig[p] ** 2)
+            )
+            img[y0c:y1c, x0c:x1c] = np.maximum(img[y0c:y1c, x0c:x1c], g)
+        images.append(np.clip(img, 0.0, 1.0) + 0.05)
+    return images, scene
+
+
+def render_staircase_sequence(
+    num_cameras: int = 8,
+    image_size=(320, 240),
+    focal: float = 400.0,
+    radius: float = 8.0,
+    arc_degrees: float = 40.0,
+    num_strips: int = 8,
+    depth_spread: float = 2.0,
+    texture_size: int = 1024,
+    seed: int = 0,
+):
+    """Render vertical textured strips at staggered depths (a "staircase").
+
+    Rich noise texture (distinctive SIFT descriptors) combined with strong
+    depth variation across strips — no dominant plane, so essential-matrix
+    estimation is well-conditioned. This is the primary synthetic sequence
+    for end-to-end pipeline tests and benchmarks. Returns (images,
+    Rt (C,3,4), K (3,3)).
+    """
+    tex = make_texture(texture_size, seed=seed)
+    rng = np.random.default_rng(seed + 7)
+    W, H = image_size
+    K = np.array(
+        [[focal, 0.0, W / 2.0], [0.0, focal, H / 2.0], [0.0, 0.0, 1.0]],
+        dtype=np.float32,
+    )
+    s = 6.0  # scene width/height
+    strip_w = s / num_strips
+    depths = (rng.random(num_strips) - 0.5) * 2.0 * depth_spread  # z offsets
+    ex = np.array([1.0, 0, 0])
+    ey = np.array([0, 1.0, 0])
+    ez = np.array([0, 0, 1.0])
+    angles = np.deg2rad(np.linspace(-arc_degrees / 2, arc_degrees / 2, num_cameras))
+    Rts, images = [], []
+    Kinv = np.linalg.inv(K)
+    u, v = np.meshgrid(np.arange(W, dtype=np.float64), np.arange(H, dtype=np.float64))
+    pix = np.stack([u, v, np.ones_like(u)], axis=-1)
+    for a in angles:
+        eye = np.array([radius * np.sin(a), -0.4 * np.sin(2 * a), -radius * np.cos(a)])
+        Rt = look_at(eye, np.zeros(3))
+        Rts.append(Rt)
+        R = Rt[:, :3].astype(np.float64)
+        t = Rt[:, 3].astype(np.float64)
+        origin = -R.T @ t
+        dirs = (pix @ Kinv.T) @ R
+        img = np.full((H, W), 0.12, dtype=np.float32)
+        best_t = np.full((H, W), np.inf)
+        for i in range(num_strips):
+            x_lo = -s / 2 + i * strip_w
+            p0 = np.array([0.0, 0.0, depths[i]])
+            n = ez
+            dn = dirs @ n
+            tt = np.where(np.abs(dn) > 1e-9, ((p0 - origin) @ n) / dn, np.inf)
+            hit = origin[None, None, :] + tt[..., None] * dirs
+            pu = hit @ ex
+            pv = hit @ ey
+            ok = (
+                (tt > 0.1)
+                & (pu >= x_lo)
+                & (pu < x_lo + strip_w)
+                & (np.abs(pv) <= s / 2)
+                & (tt < best_t)
+            )
+            tu = np.clip((pu / s + 0.5) * (texture_size - 1), 0, texture_size - 1)
+            tv = np.clip((pv / s + 0.5) * (texture_size - 1), 0, texture_size - 1)
+            i0 = np.floor(tv).astype(int)
+            j0 = np.floor(tu).astype(int)
+            i1 = np.minimum(i0 + 1, texture_size - 1)
+            j1 = np.minimum(j0 + 1, texture_size - 1)
+            fi = (tv - i0).astype(np.float32)
+            fj = (tu - j0).astype(np.float32)
+            val = (
+                tex[i0, j0] * (1 - fi) * (1 - fj)
+                + tex[i0, j1] * (1 - fi) * fj
+                + tex[i1, j0] * fi * (1 - fj)
+                + tex[i1, j1] * fi * fj
+            )
+            img = np.where(ok, val, img).astype(np.float32)
+            best_t = np.where(ok, tt, best_t)
+        images.append(img)
+    return images, np.stack(Rts).astype(np.float32), K
+
+
+def render_corner_sequence(
+    num_cameras: int = 8,
+    image_size=(320, 240),
+    focal: float = 400.0,
+    radius: float = 8.0,
+    arc_degrees: float = 60.0,
+    texture_size: int = 1024,
+    seed: int = 0,
+):
+    """Render a 3-plane "corner" scene (floor + two walls) from a camera ring.
+
+    Non-planar in aggregate, so the 8-point essential-matrix solver is
+    non-degenerate (a single plane induces a homography and makes E
+    ambiguous). Rendering is exact ray-plane intersection with bilinear
+    texture sampling. Returns (images, Rt (C,3,4), K (3,3)).
+    """
+    tex = make_texture(texture_size, seed=seed)
+    W, H = image_size
+    K = np.array(
+        [[focal, 0.0, W / 2.0], [0.0, focal, H / 2.0], [0.0, 0.0, 1.0]],
+        dtype=np.float32,
+    )
+    s = 4.0  # plane half-extent
+    # Planes: (origin, u_axis, v_axis, normal); corner opens toward -z.
+    ex = np.array([1.0, 0, 0]); ey = np.array([0, 1.0, 0]); ez = np.array([0, 0, 1.0])
+    planes = [
+        (np.array([0.0, s / 2, 0.0]), ex, ez, ey),      # floor y=+s/2 (y down)
+        (np.array([-s / 2, 0.0, 0.0]), ez, ey, ex),     # left wall x=-s/2
+        (np.array([0.0, 0.0, s / 2]), ex, ey, ez),      # back wall z=+s/2
+    ]
+    # Texture regions per plane (thirds of the texture, so content differs).
+    tex_off = [0, texture_size // 3, 2 * texture_size // 3]
+    angles = np.deg2rad(np.linspace(-arc_degrees / 2, arc_degrees / 2, num_cameras))
+    target = np.array([0.0, 0.0, 0.0])
+    Rts, images = [], []
+    Kinv = np.linalg.inv(K)
+    u, v = np.meshgrid(np.arange(W, dtype=np.float64), np.arange(H, dtype=np.float64))
+    pix = np.stack([u, v, np.ones_like(u)], axis=-1)  # (H, W, 3)
+    for a in angles:
+        eye = np.array([radius * np.sin(a), -0.8, -radius * np.cos(a)])
+        Rt = look_at(eye, target)
+        Rts.append(Rt)
+        R = Rt[:, :3].astype(np.float64)
+        t = Rt[:, 3].astype(np.float64)
+        origin = -R.T @ t
+        dirs = (pix @ Kinv.T) @ R  # (H, W, 3) world-frame ray directions
+        best_t = np.full((H, W), np.inf)
+        img = np.full((H, W), 0.12, dtype=np.float32)
+        for pi, (p0, ua, va, n) in enumerate(planes):
+            dn = dirs @ n
+            tt = np.where(np.abs(dn) > 1e-9, ((p0 - origin) @ n) / dn, np.inf)
+            hit = origin[None, None, :] + tt[..., None] * dirs
+            pu = (hit - p0) @ ua
+            pv = (hit - p0) @ va
+            ok = (tt > 0.1) & (np.abs(pu) <= s / 2) & (np.abs(pv) <= s / 2) & (tt < best_t)
+            # texture coords: use a third of the texture per plane
+            tsz3 = texture_size // 3
+            tu = np.clip((pu / s + 0.5) * (texture_size - 1), 0, texture_size - 1)
+            tv = np.clip((pv / s + 0.5) * (tsz3 - 1) + tex_off[pi], 0, texture_size - 1)
+            i0 = np.floor(tv).astype(int); j0 = np.floor(tu).astype(int)
+            i1 = np.minimum(i0 + 1, texture_size - 1); j1 = np.minimum(j0 + 1, texture_size - 1)
+            fi = (tv - i0).astype(np.float32); fj = (tu - j0).astype(np.float32)
+            val = (
+                tex[i0, j0] * (1 - fi) * (1 - fj)
+                + tex[i0, j1] * (1 - fi) * fj
+                + tex[i1, j0] * fi * (1 - fj)
+                + tex[i1, j1] * fi * fj
+            )
+            img = np.where(ok, val, img).astype(np.float32)
+            best_t = np.where(ok, tt, best_t)
+        images.append(img)
+    return images, np.stack(Rts).astype(np.float32), K
+
+
 def render_plane_sequence(
     num_cameras: int = 8,
     image_size=(320, 240),
