@@ -1,0 +1,242 @@
+"""Incremental SfM driver: bootstrap, then register-PnP-triangulate per frame.
+
+TPU-native equivalent of the reference's main loop (sfm.py:274-423). The
+per-frame step (sfm.py:341-412) becomes ONE jitted function
+(:func:`register_frame`) over fixed-capacity masked state:
+
+- the reference's `common_points` float-equality association
+  (sfm.py:215-239) is replaced by integer track ids carried per feature
+  slot of the newest frame;
+- `cv2.solvePnPRansac` (sfm.py:67) by the vmapped DLT-PnP RANSAC +
+  Gauss-Newton polish;
+- `cv2.triangulatePoints` (sfm.py:53) by batched DLT;
+- the numpy vstack cloud accumulation (sfm.py:387-395) by masked appends
+  into the fixed-capacity MapState.
+
+The host loop only decodes images, calls the jitted pieces, and logs.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sfm_mvs_tpu.models import map_store
+from sfm_mvs_tpu.models.map_store import MapState
+from sfm_mvs_tpu.models.two_view import bootstrap
+from sfm_mvs_tpu.ops import matching, projection, ransac, sift, triangulation
+from sfm_mvs_tpu.ops.sift import Features
+from sfm_mvs_tpu.utils.config import SfmConfig
+
+
+class FrameStats(NamedTuple):
+    num_matches: jnp.ndarray  # () matches to previous frame
+    num_tracked: jnp.ndarray  # () matches with existing 3D points
+    num_pnp_inliers: jnp.ndarray  # () PnP inliers
+    num_new_points: jnp.ndarray  # () newly triangulated points
+    reproj_error: jnp.ndarray  # () reference-metric mean reprojection error
+
+
+class PipelineState(NamedTuple):
+    """Carried across frames (the reference's sliding window, sfm.py:399-409)."""
+
+    map: MapState
+    prev_feats: Features
+    prev_track: jnp.ndarray  # (max_features,) point id per prev-frame feature slot
+
+
+def _sample_colors(image_bgr: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-pixel BGR color at uv — int truncation like the reference
+    (`np.array(temp2, dtype=np.int32)`, sfm.py:393-394)."""
+    H, W = image_bgr.shape[0], image_bgr.shape[1]
+    x = jnp.clip(uv[:, 0].astype(jnp.int32), 0, W - 1)
+    y = jnp.clip(uv[:, 1].astype(jnp.int32), 0, H - 1)
+    return image_bgr[y, x].astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def init_from_bootstrap(
+    key: jax.Array,
+    feats0: Features,
+    feats1: Features,
+    image1_bgr: jnp.ndarray,
+    K: jnp.ndarray,
+    cfg: SfmConfig,
+) -> tuple[PipelineState, FrameStats]:
+    """Run the two-view bootstrap and materialize the initial map."""
+    tv = bootstrap(key, feats0, feats1, K, cfg)
+    state = map_store.init_map(K, cfg.map)
+    state, cam0 = map_store.append_camera(state, tv.pose0)
+    state, cam1 = map_store.append_camera(state, tv.pose1)
+    colors = _sample_colors(image1_bgr, tv.uv1)
+    state, pids = map_store.append_points(state, tv.points, colors, tv.valid)
+    state = map_store.append_observations(state, cam0, pids, tv.uv0, tv.valid)
+    state = map_store.append_observations(state, cam1, pids, tv.uv1, tv.valid)
+    # Track ids for frame-1 feature slots.
+    max_feat = feats1.xy.shape[0]
+    track = jnp.full((max_feat,), -1, jnp.int32)
+    slot = jnp.where(tv.valid, tv.idx1, max_feat)  # OOB -> dropped
+    track = track.at[slot].set(pids.astype(jnp.int32), mode="drop")
+    stats = FrameStats(
+        num_matches=tv.num_matches,
+        num_tracked=jnp.sum(tv.valid),
+        num_pnp_inliers=tv.num_inliers,
+        num_new_points=jnp.sum(tv.valid),
+        reproj_error=tv.reproj_error,
+    )
+    return PipelineState(map=state, prev_feats=feats1, prev_track=track), stats
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def register_frame(
+    key: jax.Array,
+    pstate: PipelineState,
+    new_feats: Features,
+    image_bgr: jnp.ndarray,
+    cfg: SfmConfig,
+) -> tuple[PipelineState, FrameStats]:
+    """Register one new frame against the map (sfm.py:341-412, one jit)."""
+    fc, rc = cfg.frontend, cfg.ransac
+    state = pstate.map
+    K = state.K
+    prev = pstate.prev_feats
+
+    # 1. Match previous frame -> new frame (sfm.py:347 find_features).
+    m = matching.knn_match(
+        prev.desc, new_feats.desc, prev.valid, new_feats.valid,
+        ratio=fc.lowe_ratio, mutual=fc.mutual_check,
+    )
+    uv_prev, uv_new, mvalid = matching.gather_match_points(prev.xy, new_feats.xy, m)
+
+    # 2. Split into tracked (have 3D) / untracked (sfm.py:356-362 analog).
+    tids = pstate.prev_track[m.idx0]
+    safe_tids = jnp.clip(tids, 0, state.points.shape[0] - 1)
+    tracked = mvalid & (tids >= 0) & state.point_valid[safe_tids]
+    X_tracked = state.points[safe_tids]
+
+    # 3. PnP-RANSAC on the 2D-3D correspondences (sfm.py:362).
+    uv_new_norm = projection.normalize_points(uv_new, K)
+    k1, k2 = jax.random.split(key)
+    pnp_res = ransac.ransac_pnp(
+        k1, X_tracked, uv_new, uv_new_norm, tracked, K,
+        threshold_px=rc.pnp_threshold_px, iters=rc.pnp_iters,
+    )
+    pose_new = pnp_res.model
+    state, cam_new = map_store.append_camera(state, pose_new)
+    prev_cam = cam_new - 1
+    pose_prev = state.poses[prev_cam]
+
+    # 4. Observations of existing points in the new frame (PnP inliers).
+    state = map_store.append_observations(
+        state, cam_new, tids, uv_new, pnp_res.inliers
+    )
+    err_tracked = projection.masked_mean_reprojection_error(
+        X_tracked, uv_new, pose_new, K, pnp_res.inliers
+    )
+
+    # 5. Triangulate brand-new points from untracked matches (sfm.py:371).
+    untracked = mvalid & (tids < 0)
+    P_prev = K @ pose_prev
+    P_new = K @ pose_new
+    X_new = triangulation.triangulate_euclidean(P_prev, P_new, uv_prev, uv_new)
+    d0, d1 = triangulation.triangulation_depths(pose_prev, pose_new, X_new)
+    e_prev = jnp.linalg.norm(
+        projection.reprojection_residuals(X_new, uv_prev, pose_prev, K), axis=-1
+    )
+    e_new = jnp.linalg.norm(
+        projection.reprojection_residuals(X_new, uv_new, pose_new, K), axis=-1
+    )
+    good_new = (
+        untracked
+        & (d0 > 0)
+        & (d1 > 0)
+        & (e_prev < rc.pnp_threshold_px)
+        & (e_new < rc.pnp_threshold_px)
+    )
+    colors = _sample_colors(image_bgr, uv_new)
+    state, new_pids = map_store.append_points(state, X_new, colors, good_new)
+    state = map_store.append_observations(state, prev_cam, new_pids, uv_prev, good_new)
+    state = map_store.append_observations(state, cam_new, new_pids, uv_new, good_new)
+    err_new = projection.masked_mean_reprojection_error(
+        X_new, uv_new, pose_new, K, good_new
+    )
+
+    # 6. Track ids for the new frame's feature slots.
+    max_feat = new_feats.xy.shape[0]
+    track = jnp.full((max_feat,), -1, jnp.int32)
+    keep_tid = jnp.where(pnp_res.inliers, tids, -1)
+    keep_tid = jnp.where(good_new, new_pids.astype(jnp.int32), keep_tid)
+    slot = jnp.where(pnp_res.inliers | good_new, m.idx1, max_feat)
+    track = track.at[slot].set(keep_tid, mode="drop")
+
+    stats = FrameStats(
+        num_matches=jnp.sum(mvalid),
+        num_tracked=jnp.sum(tracked),
+        num_pnp_inliers=pnp_res.num_inliers,
+        num_new_points=jnp.sum(good_new),
+        reproj_error=0.5 * (err_tracked + err_new),
+    )
+    return PipelineState(map=state, prev_feats=new_feats, prev_track=track), stats
+
+
+class IncrementalSfM:
+    """Host-side driver: decode -> detect -> bootstrap/register -> export.
+
+    The equivalent of running `python3 sfm.py` (README.md:13), as a library.
+    """
+
+    def __init__(self, config: Optional[SfmConfig] = None):
+        self.config = config or SfmConfig()
+        self.stats: list[dict] = []
+
+    def run(
+        self,
+        images_gray: Sequence[np.ndarray],
+        images_bgr: Optional[Sequence[np.ndarray]] = None,
+        seed: int = 0,
+    ) -> MapState:
+        """Reconstruct from an ordered image sequence.
+
+        images_gray: list of (H, W) float32 in [0, 1].
+        images_bgr: optional matching list of (H, W, 3) color images for
+        point-cloud colors; grayscale is replicated when absent.
+        """
+        cfg = self.config
+        K = jnp.asarray(cfg.intrinsic_matrix())
+        if images_bgr is None:
+            images_bgr = [
+                np.repeat((g * 255.0)[..., None], 3, axis=-1) for g in images_gray
+            ]
+        key = jax.random.PRNGKey(seed)
+        feats = [
+            sift.detect_and_compute(jnp.asarray(g), cfg.frontend) for g in images_gray[:2]
+        ]
+        key, k0 = jax.random.split(key)
+        pstate, st = init_from_bootstrap(
+            k0, feats[0], feats[1], jnp.asarray(images_bgr[1]), K, cfg
+        )
+        self.stats.append(self._stat_dict(1, st))
+        for i in range(2, len(images_gray)):
+            f = sift.detect_and_compute(jnp.asarray(images_gray[i]), cfg.frontend)
+            key, ki = jax.random.split(key)
+            pstate, st = register_frame(
+                ki, pstate, f, jnp.asarray(images_bgr[i]), cfg
+            )
+            self.stats.append(self._stat_dict(i, st))
+        self.state = pstate
+        return pstate.map
+
+    @staticmethod
+    def _stat_dict(frame: int, st: FrameStats) -> dict:
+        return {
+            "frame": frame,
+            "matches": int(st.num_matches),
+            "tracked": int(st.num_tracked),
+            "pnp_inliers": int(st.num_pnp_inliers),
+            "new_points": int(st.num_new_points),
+            "reproj_error": float(st.reproj_error),
+        }

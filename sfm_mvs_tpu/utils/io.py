@@ -1,0 +1,111 @@
+"""Host-side IO: image loading, PLY export, pose.csv export.
+
+Byte-level output semantics follow the reference so artifacts can be
+diffed against it: `to_ply` scales the cloud x200, drops points beyond
+mean-centroid-distance + 300, and writes ASCII PLY with blue,green,red
+uchar properties (sfm.py:169-201); pose.csv is one value per line,
+[K.ravel(), P0.ravel(), P1.ravel(), ...] (sfm.py:276,334-335,423).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+from sfm_mvs_tpu.models.map_store import MapState
+
+_PLY_HEADER = """ply
+format ascii 1.0
+element vertex {n}
+property float x
+property float y
+property float z
+property uchar blue
+property uchar green
+property uchar red
+end_header
+"""
+
+
+def load_image_gray(path: str, downscale: int = 1) -> np.ndarray:
+    """Decode an image file to (H, W) float32 grayscale in [0, 1].
+
+    Host-side (PIL) — the TPU-native replacement for cv2.imread+cvtColor
+    (sfm.py:301,243); downscaling happens on-device via pyramid.img_downscale.
+    """
+    from PIL import Image
+
+    img = np.asarray(Image.open(path).convert("L"), dtype=np.float32) / 255.0
+    return img
+
+
+def load_image_bgr(path: str) -> np.ndarray:
+    """Decode to (H, W, 3) float32 BGR in [0, 255] (reference color order)."""
+    from PIL import Image
+
+    rgb = np.asarray(Image.open(path).convert("RGB"), dtype=np.float32)
+    return rgb[..., ::-1]
+
+
+def list_images(img_dir: str) -> list[str]:
+    """Sorted .jpg/.png listing (sfm.py:288-292)."""
+    out = []
+    for name in sorted(os.listdir(img_dir)):
+        if ".jpg" in name.lower() or ".png" in name.lower():
+            out.append(os.path.join(img_dir, name))
+    return out
+
+
+def to_ply(
+    path: str,
+    points: np.ndarray,
+    colors: np.ndarray,
+    scale: float = 200.0,
+    outlier_offset: float = 300.0,
+) -> int:
+    """Write an ASCII PLY with the reference's cleaning semantics.
+
+    points: (N, 3); colors: (N, 3) BGR in [0, 255]. Returns #vertices kept.
+    Cleaning: scale x`scale`, drop points farther than mean centroid
+    distance + `outlier_offset` (sfm.py:170-181).
+    """
+    pts = points.reshape(-1, 3) * scale
+    cols = colors.reshape(-1, 3)
+    mean = pts.mean(axis=0)
+    dist = np.linalg.norm(pts - mean, axis=1)
+    keep = dist < dist.mean() + outlier_offset
+    verts = np.hstack([pts[keep], cols[keep]])
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        f.write(_PLY_HEADER.format(n=len(verts)))
+        np.savetxt(f, verts, "%f %f %f %d %d %d")
+    return int(keep.sum())
+
+
+def map_to_ply(path: str, state: MapState, scale: float = 200.0, outlier_offset: float = 300.0) -> int:
+    """Export a MapState's valid points as PLY."""
+    valid = np.asarray(state.point_valid)
+    pts = np.asarray(state.points)[valid]
+    cols = np.asarray(state.colors)[valid]
+    return to_ply(path, pts, cols, scale=scale, outlier_offset=outlier_offset)
+
+
+def save_pose_csv(path: str, K: np.ndarray, poses: Sequence[np.ndarray]) -> None:
+    """pose.csv: [K.ravel(), (K @ pose_i).ravel()...] one value per line.
+
+    The reference stores projection matrices P = K [R|t] (sfm.py:317,365),
+    starting with K itself (sfm.py:276).
+    """
+    arr = np.asarray(K, dtype=np.float64).ravel()
+    for pose in poses:
+        P = np.asarray(K, np.float64) @ np.asarray(pose, np.float64)
+        arr = np.hstack([arr, P.ravel()])
+    np.savetxt(path, arr, delimiter="\n")
+
+
+def map_pose_csv(path: str, state: MapState) -> None:
+    valid = np.asarray(state.cam_valid)
+    poses = [p for p, v in zip(np.asarray(state.poses), valid) if v]
+    save_pose_csv(path, np.asarray(state.K), poses)

@@ -1,0 +1,99 @@
+"""End-to-end incremental SfM on a rendered sequence vs ground truth."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from sfm_mvs_tpu.models.incremental import IncrementalSfM
+from sfm_mvs_tpu.utils import evaluate, io
+from sfm_mvs_tpu.utils.config import FrontendConfig, MapConfig, SfmConfig
+from sfm_mvs_tpu.utils.synthetic import render_staircase_sequence
+
+
+@pytest.fixture(scope="module")
+def reconstruction():
+    imgs, Rt_gt, K = render_staircase_sequence(
+        num_cameras=5, arc_degrees=24, image_size=(320, 240)
+    )
+    cfg = SfmConfig(
+        fx=float(K[0, 0]), fy=float(K[1, 1]), cx=float(K[0, 2]), cy=float(K[1, 2]),
+        downscale=1,
+        frontend=FrontendConfig(
+            max_features=1024, num_octaves=3, upsample_input=True,
+            contrast_threshold=0.015, lowe_ratio=0.75,
+        ),
+        map=MapConfig(max_cameras=8, max_points=16384, max_obs=65536),
+    )
+    sfm = IncrementalSfM(cfg)
+    state = sfm.run(imgs)
+    return sfm, state, Rt_gt
+
+
+def test_all_cameras_registered(reconstruction):
+    sfm, state, Rt_gt = reconstruction
+    assert int(np.asarray(state.cam_valid).sum()) == 5
+    assert int(state.num_points) > 100
+    assert int(state.num_obs) > 2 * int(state.num_points)
+
+
+def test_trajectory_matches_ground_truth(reconstruction):
+    sfm, state, Rt_gt = reconstruction
+    poses = np.asarray(state.poses)[np.asarray(state.cam_valid)]
+    ate = evaluate.ate_rmse(poses, Rt_gt)
+    assert ate < 0.05  # scene scale ~6 -> <1% error
+    rot = evaluate.rotation_errors_deg(poses, Rt_gt)
+    assert rot.max() < 1.0
+
+
+def test_reprojection_error_below_reference_target(reconstruction):
+    """Reference target: 'Ideally it should be less than one' px (sfm.py:321)."""
+    sfm, state, Rt_gt = reconstruction
+    for s in sfm.stats:
+        assert s["reproj_error"] < 1.0
+
+
+def test_observation_table_consistency(reconstruction):
+    sfm, state, Rt_gt = reconstruction
+    n_obs = int(state.num_obs)
+    oc = np.asarray(state.obs_cam)[:n_obs]
+    op = np.asarray(state.obs_point)[:n_obs]
+    ov = np.asarray(state.obs_valid)[:n_obs]
+    assert ov.all()
+    assert (oc >= 0).all() and (oc < int(state.num_cams)).all()
+    assert (op >= 0).all() and (op < int(state.num_points)).all()
+    # every valid point referenced by >= 2 observations (triangulated + seen)
+    counts = np.bincount(op, minlength=int(state.num_points))
+    pv = np.asarray(state.point_valid)[: int(state.num_points)]
+    assert (counts[pv] >= 2).all()
+
+
+def test_points_near_ground_truth_planes(reconstruction):
+    """Triangulated points should lie on the staircase strips (|y|<=3, z in
+    the strip depth range) after similarity alignment via cameras."""
+    sfm, state, Rt_gt = reconstruction
+    poses = np.asarray(state.poses)[np.asarray(state.cam_valid)]
+    est_c = evaluate.camera_centers(poses)
+    gt_c = evaluate.camera_centers(Rt_gt)
+    s, R, t = evaluate.umeyama_alignment(est_c, gt_c)
+    pts = np.asarray(state.points)[np.asarray(state.point_valid)]
+    aligned = pts @ (s * R).T + t
+    # strips: |x|,|y| <= 3, z in [-2, 2] (depth_spread default 2.0)
+    inside = (
+        (np.abs(aligned[:, 0]) < 3.5)
+        & (np.abs(aligned[:, 1]) < 3.5)
+        & (np.abs(aligned[:, 2]) < 2.5)
+    )
+    assert inside.mean() > 0.95
+
+
+def test_ply_and_pose_export(tmp_path, reconstruction):
+    sfm, state, Rt_gt = reconstruction
+    n = io.map_to_ply(str(tmp_path / "sparse.ply"), state)
+    assert n > 100
+    txt = (tmp_path / "sparse.ply").read_text().splitlines()
+    assert txt[0] == "ply"
+    assert txt[2] == f"element vertex {n}"
+    io.map_pose_csv(str(tmp_path / "pose.csv"), state)
+    vals = np.loadtxt(tmp_path / "pose.csv")
+    assert len(vals) == 9 + 5 * 12  # K + five 3x4 projection matrices
