@@ -1,0 +1,94 @@
+"""Sparse-Schur LM bundle adjustment: convergence, gauge, masking."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from sfm_mvs_tpu.models import ba, map_store
+from sfm_mvs_tpu.ops import lie
+from sfm_mvs_tpu.utils.config import MapConfig
+from sfm_mvs_tpu.utils.synthetic import make_scene
+
+
+def _build_problem(rng, C=5, P=300, point_noise=0.05, pose_noise=0.02, obs_noise=0.0):
+    scene = make_scene(num_points=P, num_cameras=C, arc_degrees=50)
+    cfgm = MapConfig(max_cameras=8, max_points=512, max_obs=4096)
+    state = map_store.init_map(jnp.asarray(scene.K), cfgm)
+    for c in range(C):
+        state, _ = map_store.append_camera(state, jnp.asarray(scene.Rt[c]))
+    Xn = scene.points + rng.normal(scale=point_noise, size=(P, 3)).astype(np.float32)
+    state, pids = map_store.append_points(
+        state, jnp.asarray(Xn), jnp.zeros((P, 3)), jnp.ones(P, dtype=bool)
+    )
+    for c in range(C):
+        uv, _ = scene.project(c)
+        if obs_noise:
+            uv = uv + rng.normal(scale=obs_noise, size=uv.shape)
+        state = map_store.append_observations(
+            state, c, pids, jnp.asarray(uv.astype(np.float32)), jnp.ones(P, dtype=bool)
+        )
+    poses = np.asarray(state.poses).copy()
+    for c in range(1, C):
+        rv, tv = lie.matrix_to_rt(jnp.asarray(scene.Rt[c]))
+        rv = np.asarray(rv) + rng.normal(scale=pose_noise, size=3)
+        tv = np.asarray(tv) + rng.normal(scale=pose_noise * 3, size=3)
+        poses[c] = np.asarray(
+            lie.rt_to_matrix(
+                jnp.asarray(rv.astype(np.float32)), jnp.asarray(tv.astype(np.float32))
+            )
+        )
+    state = state._replace(poses=jnp.asarray(poses))
+    return state, scene
+
+
+def test_converges_to_zero_noiseless(rng):
+    state, scene = _build_problem(rng, obs_noise=0.0)
+    new_state, stats = ba.bundle_adjust_map(state, max_iterations=30, cg_iters=30)
+    assert float(stats.initial_cost) > 1.0
+    assert float(stats.final_cost) < 1e-3  # exact data -> exact recovery
+    # Rotations are scale-gauge-invariant: must match ground truth exactly.
+    for c in range(5):
+        np.testing.assert_allclose(
+            np.asarray(new_state.poses[c])[:, :3], scene.Rt[c][:, :3], atol=2e-3
+        )
+    # Camera centers match after similarity alignment (only the scale gauge
+    # is free with cam0 frozen).
+    from sfm_mvs_tpu.utils import evaluate
+
+    ate = evaluate.ate_rmse(np.asarray(new_state.poses)[:5], scene.Rt)
+    assert ate < 1e-3
+
+
+def test_converges_to_noise_floor(rng):
+    state, scene = _build_problem(rng, obs_noise=0.3)
+    new_state, stats = ba.bundle_adjust_map(state, max_iterations=30, cg_iters=25)
+    # E[|r|^2] = 2 sigma^2 = 0.18 px^2; allow slack
+    assert float(stats.final_cost) < 0.3
+    assert float(stats.final_cost) < float(stats.initial_cost) * 0.01
+
+
+def test_frozen_camera_unchanged(rng):
+    state, scene = _build_problem(rng)
+    pose0_before = np.asarray(state.poses[0]).copy()
+    new_state, _ = ba.bundle_adjust_map(state, max_iterations=10, cg_iters=20)
+    np.testing.assert_allclose(np.asarray(new_state.poses[0]), pose0_before, atol=1e-6)
+
+
+def test_invalid_observations_ignored(rng):
+    state, scene = _build_problem(rng, obs_noise=0.0)
+    # corrupt half the *invalid* region of the obs table: should not matter
+    n_obs = int(state.num_obs)
+    obs_uv = np.asarray(state.obs_uv).copy()
+    obs_uv[n_obs:] = 1e6
+    state_bad = state._replace(obs_uv=jnp.asarray(obs_uv))
+    _, stats = ba.bundle_adjust_map(state_bad, max_iterations=10, cg_iters=20)
+    assert np.isfinite(float(stats.final_cost))
+    assert float(stats.final_cost) < float(stats.initial_cost)
+
+
+def test_cost_metric_matches_reprojection(rng):
+    state, scene = _build_problem(rng, point_noise=0.0, pose_noise=0.0)
+    prob = ba.problem_from_map(state)
+    cost = float(ba._cost(prob))
+    assert cost < 1e-6  # exact geometry -> zero residual
