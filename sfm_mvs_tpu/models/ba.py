@@ -135,8 +135,12 @@ def _gather_residuals(prob: BAProblem):
     return r, A, B, w, oc, op
 
 
-def _cost(prob: BAProblem) -> jnp.ndarray:
-    """Mean squared pixel residual over valid observations."""
+def _cost(prob: BAProblem, axis_name: str | None = None) -> jnp.ndarray:
+    """Mean squared pixel residual over valid observations.
+
+    With `axis_name`, the observation table is sharded over that mesh axis
+    (cameras/points replicated) and partial sums are psum-reduced.
+    """
     C = prob.cam_params.shape[0]
     P = prob.points.shape[0]
     oc = jnp.clip(prob.obs_cam, 0, C - 1)
@@ -147,8 +151,12 @@ def _cost(prob: BAProblem) -> jnp.ndarray:
     r = jax.vmap(_residual_one, in_axes=(0, 0, 0, None))(
         prob.cam_params[oc], prob.points[op], prob.obs_uv, prob.K
     )
-    n = jnp.maximum(jnp.sum(w), 1.0)
-    return jnp.sum(jnp.sum(r * r, axis=-1) * w) / n
+    num = jnp.sum(jnp.sum(r * r, axis=-1) * w)
+    den = jnp.sum(w)
+    if axis_name is not None:
+        num = jax.lax.psum(num, axis_name)
+        den = jax.lax.psum(den, axis_name)
+    return num / jnp.maximum(den, 1.0)
 
 
 # ---------------------------------------------------------------------------
@@ -188,11 +196,18 @@ def _inv3(M: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _lm_solve(prob: BAProblem, lam: jnp.ndarray, cg_iters: int):
+def _lm_solve(prob: BAProblem, lam: jnp.ndarray, cg_iters: int,
+              axis_name: str | None = None):
     """Solve the damped normal equations via Schur + PCG.
 
-    Returns (delta_cam (C,6), delta_pts (P,3)).
+    Returns (delta_cam (C,6), delta_pts (P,3)). With `axis_name`, the
+    observation arrays hold this device's shard and every segment-sum is
+    followed by a psum over the mesh axis — per-device Schur elimination
+    with collective aggregation of the reduced camera system (the
+    distributed-BA design of SURVEY.md §2.3).
     """
+    def allreduce(x):
+        return jax.lax.psum(x, axis_name) if axis_name is not None else x
     C = prob.cam_params.shape[0]
     P = prob.points.shape[0]
     r, A, B, w, oc, op = _gather_residuals(prob)
@@ -204,10 +219,10 @@ def _lm_solve(prob: BAProblem, lam: jnp.ndarray, cg_iters: int):
     Atr = jnp.einsum("oij,oi->oj", A, r)  # (O, 6)
     Btr = jnp.einsum("oij,oi->oj", B, r)  # (O, 3)
 
-    U = jax.ops.segment_sum(AtA, oc, num_segments=C)  # (C, 6, 6)
-    V = jax.ops.segment_sum(BtB, op, num_segments=P)  # (P, 3, 3)
-    g_c = -jax.ops.segment_sum(Atr, oc, num_segments=C)  # (C, 6)
-    g_p = -jax.ops.segment_sum(Btr, op, num_segments=P)  # (P, 3)
+    U = allreduce(jax.ops.segment_sum(AtA, oc, num_segments=C))  # (C, 6, 6)
+    V = allreduce(jax.ops.segment_sum(BtB, op, num_segments=P))  # (P, 3, 3)
+    g_c = -allreduce(jax.ops.segment_sum(Atr, oc, num_segments=C))  # (C, 6)
+    g_p = -allreduce(jax.ops.segment_sum(Btr, op, num_segments=P))  # (P, 3)
 
     # LM damping (Marquardt scaling on the diagonal + absolute floor).
     eye6 = jnp.eye(6, dtype=U.dtype)
@@ -219,15 +234,15 @@ def _lm_solve(prob: BAProblem, lam: jnp.ndarray, cg_iters: int):
     # Schur RHS: b = g_c - W V^-1 g_p, accumulated over observations.
     Vg = jnp.einsum("pij,pj->pi", V_inv, g_p)  # (P, 3)
     WVg = jnp.einsum("oij,oj->oi", W, Vg[op])  # (O, 6)
-    b = g_c - jax.ops.segment_sum(WVg, oc, num_segments=C)  # (C, 6)
+    b = g_c - allreduce(jax.ops.segment_sum(WVg, oc, num_segments=C))  # (C, 6)
 
     def S_apply(x):  # x: (C, 6) -> (C, 6), matrix-free S @ x
         Ux = jnp.einsum("cij,cj->ci", U, x)
         Wtx = jnp.einsum("oij,oi->oj", W, x[oc])  # (O, 3) = W_o^T x_{c(o)}
-        y = jax.ops.segment_sum(Wtx, op, num_segments=P)  # (P, 3)
+        y = allreduce(jax.ops.segment_sum(Wtx, op, num_segments=P))  # (P, 3)
         z = jnp.einsum("pij,pj->pi", V_inv, y)
         Wz = jnp.einsum("oij,oj->oi", W, z[op])  # (O, 6)
-        back = jax.ops.segment_sum(Wz, oc, num_segments=C)
+        back = allreduce(jax.ops.segment_sum(Wz, oc, num_segments=C))
         return Ux - back
 
     # Block-Jacobi preconditioner: U_c^{-1} (6x6 solve per camera).
@@ -262,7 +277,7 @@ def _lm_solve(prob: BAProblem, lam: jnp.ndarray, cg_iters: int):
 
     # Back-substitute point updates: dp = V^-1 (g_p - W^T dc).
     Wtdc = jnp.einsum("oij,oi->oj", W, delta_cam[oc])  # (O, 3)
-    acc = jax.ops.segment_sum(Wtdc, op, num_segments=P)
+    acc = allreduce(jax.ops.segment_sum(Wtdc, op, num_segments=P))
     delta_pts = jnp.einsum("pij,pj->pi", V_inv, g_p - acc)
     return delta_cam, delta_pts
 
@@ -272,7 +287,7 @@ def _lm_solve(prob: BAProblem, lam: jnp.ndarray, cg_iters: int):
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("max_iterations", "cg_iters"))
+@partial(jax.jit, static_argnames=("max_iterations", "cg_iters", "axis_name"))
 def run_ba(
     prob: BAProblem,
     max_iterations: int = 20,
@@ -280,17 +295,24 @@ def run_ba(
     damping_init: float = 1e-3,
     damping_up: float = 4.0,
     damping_down: float = 2.0,
+    axis_name: str | None = None,
 ) -> tuple[BAProblem, BAStats]:
-    """Levenberg-Marquardt with accept/reject and multiplicative damping."""
-    cost0 = _cost(prob)
+    """Levenberg-Marquardt with accept/reject and multiplicative damping.
+
+    With `axis_name` (inside shard_map), observation arrays are per-device
+    shards; camera/point state is replicated and updates are identical on
+    every device (all reductions are psum'd, so the LM trajectory is
+    bitwise-identical across devices).
+    """
+    cost0 = _cost(prob, axis_name)
 
     def body(carry):
         prob, lam, cost, it, accepted = carry
-        dc, dp = _lm_solve(prob, lam, cg_iters)
+        dc, dp = _lm_solve(prob, lam, cg_iters, axis_name)
         cand = prob._replace(
             cam_params=prob.cam_params + dc, points=prob.points + dp
         )
-        new_cost = _cost(cand)
+        new_cost = _cost(cand, axis_name)
         improve = new_cost < cost
         prob = jax.tree_util.tree_map(
             lambda new, old: jnp.where(improve, new, old), cand, prob
