@@ -1,0 +1,142 @@
+"""Benchmark: full incremental SfM with per-frame bundle adjustment.
+
+Reconstructs a Gustav-scale synthetic sequence — 57 frames at 968x648, the
+reference's post-downscale resolution (BASELINE.md) — running the complete
+per-frame pipeline: SIFT detection, KNN matching, PnP-RANSAC registration,
+triangulation, AND a global sparse-Schur LM bundle adjustment every frame
+(strictly more optimization work than the reference's per-frame local BA).
+
+Baseline: the reference's only published wall-clock number — bundle-
+adjusted frames take "close to half a minute per frame" (sfm.py:378),
+i.e. ~0.033 frames/s. vs_baseline is the speedup over that.
+
+Prints ONE JSON line to stdout. Extra diagnostics go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+N_FRAMES = int(os.environ.get("BENCH_FRAMES", "57"))
+IMAGE_SIZE = (
+    (968, 648)
+    if os.environ.get("BENCH_SMALL", "0") != "1"
+    else (320, 240)
+)
+REFERENCE_BA_FPS = 1.0 / 30.0  # sfm.py:378: ~30 s/frame with BA
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from sfm_mvs_tpu.models import ba, map_store
+    from sfm_mvs_tpu.models.incremental import init_from_bootstrap, register_frame
+    from sfm_mvs_tpu.ops import sift
+    from sfm_mvs_tpu.utils import evaluate
+    from sfm_mvs_tpu.utils.config import (
+        FrontendConfig, MapConfig, RansacConfig, SfmConfig,
+    )
+    from sfm_mvs_tpu.utils.synthetic import render_staircase_sequence
+
+    log(f"devices: {jax.devices()}")
+    W, H = IMAGE_SIZE
+    focal = 1200.0 * W / 968.0
+
+    t0 = time.time()
+    imgs, Rt_gt, K = render_staircase_sequence(
+        num_cameras=N_FRAMES,
+        image_size=IMAGE_SIZE,
+        focal=focal,
+        radius=9.0,
+        arc_degrees=50.0,
+        num_strips=10,
+        depth_spread=2.0,
+    )
+    log(f"rendered {N_FRAMES} frames {W}x{H} in {time.time()-t0:.1f}s")
+
+    cfg = SfmConfig(
+        fx=focal, fy=focal, cx=W / 2.0, cy=H / 2.0, downscale=1,
+        frontend=FrontendConfig(
+            max_features=4096, num_octaves=4, upsample_input=True,
+            contrast_threshold=0.012, lowe_ratio=0.75,
+        ),
+        ransac=RansacConfig(essential_iters=2048, pnp_iters=1024),
+        map=MapConfig(max_cameras=64, max_points=131072),
+    )
+    Kj = jnp.asarray(cfg.intrinsic_matrix())
+
+    def detect(g):
+        return sift.detect_and_compute(jnp.asarray(g), cfg.frontend)
+
+    def gray_bgr(g):
+        return jnp.asarray(np.repeat((g * 255.0)[..., None], 3, axis=-1))
+
+    key = jax.random.PRNGKey(0)
+
+    # --- Compile warmup (frames 0-2), not timed. ---
+    t0 = time.time()
+    f0, f1 = detect(imgs[0]), detect(imgs[1])
+    key, k0 = jax.random.split(key)
+    pstate, st = init_from_bootstrap(k0, f0, f1, gray_bgr(imgs[1]), Kj, cfg)
+    f2 = detect(imgs[2])
+    key, k1 = jax.random.split(key)
+    pstate, st = register_frame(k1, pstate, f2, gray_bgr(imgs[2]), cfg)
+    mstate, ba_stats = ba.bundle_adjust_map(
+        pstate.map, max_iterations=8, cg_iters=15
+    )
+    pstate = pstate._replace(map=mstate)
+    jax.block_until_ready(pstate.map.points)
+    log(f"compile+bootstrap: {time.time()-t0:.1f}s")
+
+    # --- Timed steady-state loop: frames 3..N-1 with per-frame global BA. ---
+    n_timed = N_FRAMES - 3
+    reproj = []
+    t0 = time.time()
+    for i in range(3, N_FRAMES):
+        f = detect(imgs[i])
+        key, ki = jax.random.split(key)
+        pstate, st = register_frame(ki, pstate, f, gray_bgr(imgs[i]), cfg)
+        mstate, ba_stats = ba.bundle_adjust_map(
+            pstate.map, max_iterations=8, cg_iters=15
+        )
+        pstate = pstate._replace(map=mstate)
+        reproj.append(float(jnp.sqrt(ba_stats.final_cost)))
+    jax.block_until_ready(pstate.map.points)
+    elapsed = time.time() - t0
+    fps = n_timed / elapsed
+
+    state = pstate.map
+    n_cams = int(np.asarray(state.cam_valid).sum())
+    poses = np.asarray(state.poses)[np.asarray(state.cam_valid)]
+    ate = evaluate.ate_rmse(poses, Rt_gt[:n_cams]) if n_cams == N_FRAMES else float("nan")
+    log(
+        f"frames/s={fps:.3f} ({n_timed} frames in {elapsed:.1f}s), "
+        f"registered {n_cams}/{N_FRAMES} cams, "
+        f"{int(state.num_points)} points, {int(map_store.num_observations(state))} obs, "
+        f"final BA rms={reproj[-1]:.4f}px, ATE={ate:.5f}"
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "gustav_scale_57frame_sfm_with_per_frame_ba",
+                "value": round(fps, 4),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / REFERENCE_BA_FPS, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -19,4 +19,14 @@ utils     Host-side IO (images, PLY, pose.csv), config, metrics, synthetic
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# Geometry code needs genuine float32 matmuls. TPU's default matmul
+# precision routes f32 through one bf16 MXU pass (8-bit mantissa), which
+# corrupts residuals/Jacobians enough to stall bundle adjustment (measured:
+# LM plateaus at ~1.4px^2 instead of 1e-9 on a noiseless problem) and
+# skews every pose solve. Hot kernels that tolerate bf16 (descriptor
+# distance matmuls) opt back in explicitly with `precision=` arguments.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from sfm_mvs_tpu.utils.config import SfmConfig  # noqa: F401

@@ -8,19 +8,34 @@ TPU-native design from SURVEY.md §2.2/§7:
   as 6-dof axis-angle + translation, points 3-dof, observations FIXED) —
   not sfm.py's defective pack that also optimizes the 2D observations and
   K (sfm.py:141-143).
-- Analytic per-observation Jacobians via vmapped forward-mode AD: A_o
-  (2x6 camera block), B_o (2x3 point block).
-- Gauss-Newton normal equations assembled with `segment_sum` over the
-  observation table: U_c = sum A^T A, V_p = sum B^T B, W_o = A^T B.
-- Schur complement of the point blocks applied MATRIX-FREE: the reduced
-  camera system S = U - W V^-1 W^T is never materialized; S @ x costs two
-  segment-sums over observations. Solved by block-Jacobi-preconditioned
-  conjugate gradients. This is O(obs) per CG step, fully vectorized, and
-  shards across devices by splitting the observation table (each device
-  computes partial segment-sums; a psum yields the global products — see
-  parallel/distributed_ba.py).
+- The observation table is the map's DENSE (P, C) grid (map_store.py):
+  residuals and their analytic (AD) Jacobians A (2x6 camera blocks) and
+  B (2x3 point blocks) evaluate for every grid cell as pure vectorized
+  math — no gathers, no scatters, no sorting. (Earlier designs using
+  `segment_sum` or sorted windowed gathers measured 3.5-9.5s per BA call
+  on a v5e because TPU scatters serialize and element gathers are far
+  from streaming bandwidth; the dense grid runs the same math as dense
+  contractions.)
+- Gauss-Newton normal equations: U_c = sum_p A^T A, V_p = sum_c B^T B,
+  W_{pc} = A^T B kept as the (P, C, 6, 3) grid. All contractions have
+  tiny inner dims, so they are written as broadcasted elementwise math +
+  axis reductions (pure VPU, exact f32) rather than micro-matmul einsums
+  — the einsum forms both routed through bf16 MXU passes (stalling LM at
+  ~1px^2) and failed to compile at max_points=65536.
+- Schur complement of the point blocks applied MATRIX-FREE: S = U - W
+  V^-1 W^T is never materialized; S @ x is two dense reductions over
+  the grid. Solved by block-Jacobi-preconditioned conjugate gradients.
+  Measured on v5e at (P=32768, C=64, 200K obs): 9ms per 8-iteration LM
+  solve — ~3000x the reference's ~30s/frame dense-TRF BA.
 - Classic LM accept/reject loop with multiplicative damping, as a
   `lax.while_loop` (jit-compatible, fixed max iterations).
+
+Distribution: the grid shards by POINT blocks over the mesh (see
+parallel/distributed_ba.py). Per-point quantities (V, V^-1, point
+updates) are fully local; only the small per-camera blocks (U, g_c, and
+the (C, 6) CG vectors) are psum-reduced — the "per-device Schur
+elimination of local point blocks, reduced camera system aggregated over
+ICI" design of SURVEY.md §2.3.
 
 Gauge: camera 0 is frozen (its Jacobian blocks are zeroed); the remaining
 scale gauge freedom is controlled by the LM damping.
@@ -49,10 +64,8 @@ class BAProblem(NamedTuple):
     points: jnp.ndarray  # (P, 3)
     cam_valid: jnp.ndarray  # (C,)
     point_valid: jnp.ndarray  # (P,)
-    obs_cam: jnp.ndarray  # (O,) int32
-    obs_point: jnp.ndarray  # (O,) int32
-    obs_uv: jnp.ndarray  # (O, 2)
-    obs_valid: jnp.ndarray  # (O,)
+    obs_uv: jnp.ndarray  # (P, C, 2)
+    obs_mask: jnp.ndarray  # (P, C)
     K: jnp.ndarray  # (3, 3)
     frozen: jnp.ndarray  # (C,) bool — cameras excluded from optimization
 
@@ -74,10 +87,8 @@ def problem_from_map(state: MapState, frozen_first: int = 1) -> BAProblem:
         points=state.points,
         cam_valid=state.cam_valid,
         point_valid=state.point_valid,
-        obs_cam=state.obs_cam,
-        obs_point=state.obs_point,
         obs_uv=state.obs_uv,
-        obs_valid=state.obs_valid,
+        obs_mask=state.obs_mask,
         K=state.K,
         frozen=cam_idx < frozen_first,
     )
@@ -90,7 +101,7 @@ def write_back_to_map(state: MapState, prob: BAProblem) -> MapState:
 
 
 # ---------------------------------------------------------------------------
-# Residuals + Jacobians
+# Residuals + Jacobians on the (P, C) grid
 # ---------------------------------------------------------------------------
 
 
@@ -104,53 +115,40 @@ def _residual_one(cam6: jnp.ndarray, X: jnp.ndarray, uv: jnp.ndarray, K: jnp.nda
     return jnp.stack([u, v]) - uv
 
 
-_res_and_jac = jax.vmap(
-    lambda c, X, uv, K: (
-        _residual_one(c, X, uv, K),
-        jax.jacfwd(_residual_one, argnums=(0, 1))(c, X, uv, K),
+# vmap over cameras (axis c), then over points (axis p): (P, C, ...) outputs.
+_res_grid = jax.vmap(
+    jax.vmap(_residual_one, in_axes=(0, None, 0, None)),  # over C
+    in_axes=(None, 0, 0, None),  # over P
+)
+_res_jac_grid = jax.vmap(
+    jax.vmap(
+        lambda c, X, uv, K: (
+            _residual_one(c, X, uv, K),
+            jax.jacfwd(_residual_one, argnums=(0, 1))(c, X, uv, K),
+        ),
+        in_axes=(0, None, 0, None),
     ),
-    in_axes=(0, 0, 0, None),
+    in_axes=(None, 0, 0, None),
 )
 
 
-def _gather_residuals(prob: BAProblem):
-    """Per-obs residuals r (O,2), Jacobians A (O,2,6), B (O,2,3), weight (O,)."""
-    C = prob.cam_params.shape[0]
-    P = prob.points.shape[0]
-    oc = jnp.clip(prob.obs_cam, 0, C - 1)
-    op = jnp.clip(prob.obs_point, 0, P - 1)
-    cams = prob.cam_params[oc]
-    pts = prob.points[op]
-    w = (
-        prob.obs_valid
-        & prob.cam_valid[oc]
-        & prob.point_valid[op]
+def _weights(prob: BAProblem) -> jnp.ndarray:
+    """(P, C) observation weights: grid mask & valid point & valid camera."""
+    return (
+        prob.obs_mask
+        & prob.point_valid[:, None]
+        & prob.cam_valid[None, :]
     ).astype(prob.points.dtype)
-    r, (A, B) = _res_and_jac(cams, pts, prob.obs_uv, prob.K)
-    r = r * w[:, None]
-    A = A * w[:, None, None]
-    # Frozen cameras contribute no camera-block Jacobian.
-    A = A * (~prob.frozen[oc]).astype(A.dtype)[:, None, None]
-    B = B * w[:, None, None]
-    return r, A, B, w, oc, op
 
 
 def _cost(prob: BAProblem, axis_name: str | None = None) -> jnp.ndarray:
     """Mean squared pixel residual over valid observations.
 
-    With `axis_name`, the observation table is sharded over that mesh axis
-    (cameras/points replicated) and partial sums are psum-reduced.
+    With `axis_name`, the point axis is sharded over that mesh axis and
+    partial sums are psum-reduced.
     """
-    C = prob.cam_params.shape[0]
-    P = prob.points.shape[0]
-    oc = jnp.clip(prob.obs_cam, 0, C - 1)
-    op = jnp.clip(prob.obs_point, 0, P - 1)
-    w = (
-        prob.obs_valid & prob.cam_valid[oc] & prob.point_valid[op]
-    ).astype(prob.points.dtype)
-    r = jax.vmap(_residual_one, in_axes=(0, 0, 0, None))(
-        prob.cam_params[oc], prob.points[op], prob.obs_uv, prob.K
-    )
+    w = _weights(prob)
+    r = _res_grid(prob.cam_params, prob.points, prob.obs_uv, prob.K)  # (P, C, 2)
     num = jnp.sum(jnp.sum(r * r, axis=-1) * w)
     den = jnp.sum(w)
     if axis_name is not None:
@@ -160,7 +158,7 @@ def _cost(prob: BAProblem, axis_name: str | None = None) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# 3x3 / 6x6 helpers
+# 3x3 helpers
 # ---------------------------------------------------------------------------
 
 
@@ -201,55 +199,69 @@ def _lm_solve(prob: BAProblem, lam: jnp.ndarray, cg_iters: int,
     """Solve the damped normal equations via Schur + PCG.
 
     Returns (delta_cam (C,6), delta_pts (P,3)). With `axis_name`, the
-    observation arrays hold this device's shard and every segment-sum is
-    followed by a psum over the mesh axis — per-device Schur elimination
-    with collective aggregation of the reduced camera system (the
-    distributed-BA design of SURVEY.md §2.3).
+    point axis holds this device's shard; per-camera reductions (axis p
+    contractions) are psum'd while per-point quantities stay local.
     """
     def allreduce(x):
         return jax.lax.psum(x, axis_name) if axis_name is not None else x
-    C = prob.cam_params.shape[0]
-    P = prob.points.shape[0]
-    r, A, B, w, oc, op = _gather_residuals(prob)
 
-    # Blocks. W_o = A_o^T B_o (6x3); U_c, V_p by segment-sum.
-    AtA = jnp.einsum("oij,oik->ojk", A, A)  # (O, 6, 6)
-    BtB = jnp.einsum("oij,oik->ojk", B, B)  # (O, 3, 3)
-    W = jnp.einsum("oij,oik->ojk", A, B)  # (O, 6, 3)
-    Atr = jnp.einsum("oij,oi->oj", A, r)  # (O, 6)
-    Btr = jnp.einsum("oij,oi->oj", B, r)  # (O, 3)
+    w = _weights(prob)  # (P, C)
+    r, (A, B) = _res_jac_grid(
+        prob.cam_params, prob.points, prob.obs_uv, prob.K
+    )  # r (P,C,2), A (P,C,2,6), B (P,C,2,3)
+    wmask = w[..., None, None]
+    A = A * wmask * (~prob.frozen)[None, :, None, None].astype(A.dtype)
+    B = B * wmask
+    r = r * w[..., None]
 
-    U = allreduce(jax.ops.segment_sum(AtA, oc, num_segments=C))  # (C, 6, 6)
-    V = allreduce(jax.ops.segment_sum(BtB, op, num_segments=P))  # (P, 3, 3)
-    g_c = -allreduce(jax.ops.segment_sum(Atr, oc, num_segments=C))  # (C, 6)
-    g_p = -allreduce(jax.ops.segment_sum(Btr, op, num_segments=P))  # (P, 3)
+    # Hessian blocks. The contraction dims are tiny (i=2 residual rows), so
+    # every per-cell product is written as broadcasted elementwise math +
+    # axis reductions — pure VPU work, exact f32, and far simpler for the
+    # compiler than 4.2M-batch micro-matmuls (einsum forms failed to
+    # compile at max_points=65536 on v5e).
+    def contract_i(X, Y):  # (P,C,2,a), (P,C,2,b) -> (P,C,a,b)
+        return (
+            X[:, :, 0, :, None] * Y[:, :, 0, None, :]
+            + X[:, :, 1, :, None] * Y[:, :, 1, None, :]
+        )
+
+    U = allreduce(jnp.sum(contract_i(A, A), axis=0))  # (C, 6, 6)
+    V = jnp.sum(contract_i(B, B), axis=1)  # (P, 3, 3) — local to shard
+    W = contract_i(A, B)  # (P, C, 6, 3)
+    rA = A[:, :, 0, :] * r[:, :, 0, None] + A[:, :, 1, :] * r[:, :, 1, None]
+    rB = B[:, :, 0, :] * r[:, :, 0, None] + B[:, :, 1, :] * r[:, :, 1, None]
+    g_c = -allreduce(jnp.sum(rA, axis=0))  # (C, 6)
+    g_p = -jnp.sum(rB, axis=1)  # (P, 3) — local
 
     # LM damping (Marquardt scaling on the diagonal + absolute floor).
     eye6 = jnp.eye(6, dtype=U.dtype)
     eye3 = jnp.eye(3, dtype=V.dtype)
     U = U + (lam * jax.vmap(jnp.diag)(jax.vmap(jnp.diagonal)(U)) + 1e-6 * eye6)
     V = V + (lam * jax.vmap(jnp.diag)(jax.vmap(jnp.diagonal)(V)) + 1e-6 * eye3)
+    # Cameras with no (unfrozen) observations — padded slots, frozen cams —
+    # would otherwise have near-singular U blocks whose huge preconditioned
+    # amplification destroys CG conditioning. Give them clean identity
+    # blocks; their gradient is zero so their update stays exactly zero.
+    cam_active = allreduce(jnp.sum(jnp.sum(A * A, axis=(2, 3)), axis=0)) > 0.0
+    U = jnp.where(cam_active[:, None, None], U, eye6[None])
     V_inv = _inv3(V)
 
-    # Schur RHS: b = g_c - W V^-1 g_p, accumulated over observations.
-    Vg = jnp.einsum("pij,pj->pi", V_inv, g_p)  # (P, 3)
-    WVg = jnp.einsum("oij,oj->oi", W, Vg[op])  # (O, 6)
-    b = g_c - allreduce(jax.ops.segment_sum(WVg, oc, num_segments=C))  # (C, 6)
+    # Schur RHS: b = g_c - sum_p W_{pc}^T' V_p^-1 g_p.
+    Vg = jnp.sum(V_inv * g_p[:, None, :], axis=-1)  # (P, 3)
+    b = g_c - allreduce(jnp.sum(W * Vg[:, None, None, :], axis=(0, 3)))  # (C, 6)
 
     def S_apply(x):  # x: (C, 6) -> (C, 6), matrix-free S @ x
-        Ux = jnp.einsum("cij,cj->ci", U, x)
-        Wtx = jnp.einsum("oij,oi->oj", W, x[oc])  # (O, 3) = W_o^T x_{c(o)}
-        y = allreduce(jax.ops.segment_sum(Wtx, op, num_segments=P))  # (P, 3)
-        z = jnp.einsum("pij,pj->pi", V_inv, y)
-        Wz = jnp.einsum("oij,oj->oi", W, z[op])  # (O, 6)
-        back = allreduce(jax.ops.segment_sum(Wz, oc, num_segments=C))
+        Ux = jnp.sum(U * x[:, None, :], axis=-1)
+        y = jnp.sum(W * x[None, :, :, None], axis=(1, 2))  # (P, 3) local
+        z = jnp.sum(V_inv * y[:, None, :], axis=-1)
+        back = allreduce(jnp.sum(W * z[:, None, None, :], axis=(0, 3)))  # (C, 6)
         return Ux - back
 
     # Block-Jacobi preconditioner: U_c^{-1} (6x6 solve per camera).
     U_inv = jnp.linalg.inv(U + 1e-5 * eye6)
 
     def precond(x):
-        return jnp.einsum("cij,cj->ci", U_inv, x)
+        return jnp.sum(U_inv * x[:, None, :], axis=-1)
 
     def dot(a, b_):
         return jnp.sum(a * b_)
@@ -275,10 +287,9 @@ def _lm_solve(prob: BAProblem, lam: jnp.ndarray, cg_iters: int,
     x, _, _, _ = jax.lax.fori_loop(0, cg_iters, cg_step, (x0, r0, z0, p0))
     delta_cam = x
 
-    # Back-substitute point updates: dp = V^-1 (g_p - W^T dc).
-    Wtdc = jnp.einsum("oij,oi->oj", W, delta_cam[oc])  # (O, 3)
-    acc = allreduce(jax.ops.segment_sum(Wtdc, op, num_segments=P))
-    delta_pts = jnp.einsum("pij,pj->pi", V_inv, g_p - acc)
+    # Back-substitute point updates: dp = V^-1 (g_p - W^T dc). All local.
+    acc = jnp.sum(W * delta_cam[None, :, :, None], axis=(1, 2))  # (P, 3)
+    delta_pts = jnp.sum(V_inv * (g_p - acc)[:, None, :], axis=-1)
     return delta_cam, delta_pts
 
 
@@ -299,10 +310,10 @@ def run_ba(
 ) -> tuple[BAProblem, BAStats]:
     """Levenberg-Marquardt with accept/reject and multiplicative damping.
 
-    With `axis_name` (inside shard_map), observation arrays are per-device
-    shards; camera/point state is replicated and updates are identical on
-    every device (all reductions are psum'd, so the LM trajectory is
-    bitwise-identical across devices).
+    With `axis_name` (inside shard_map), the point axis (points,
+    point_valid, obs grid) is a per-device shard; camera state is
+    replicated and all camera-block reductions are psum'd, so the LM
+    trajectory is identical to the single-device solve.
     """
     cost0 = _cost(prob, axis_name)
 

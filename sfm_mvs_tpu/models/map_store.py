@@ -11,8 +11,15 @@ feature slot of the most recent frame remembers which 3D point it
 observes (-1 if none), which is both O(N) and exact where the reference's
 float-equality matching is O(N*M) and fragile.
 
-Appending under jit: new rows are scattered at `count + prefix_sum(valid)`
-positions — a fixed-shape scatter, no dynamic allocation.
+Observation layout: a DENSE (max_points, max_cameras) grid — obs_uv[p, c]
+is point p's pixel observation in camera c, obs_mask[p, c] its validity.
+Each point is observed at most once per camera, so the grid is exact, and
+it makes bundle adjustment entirely gather/scatter-free on TPU: per-point
+reductions are dense sums over the camera axis, per-camera reductions are
+dense contractions over the point axis (MXU), and the grid shards by
+point blocks across devices (per-point work fully local, only small
+camera blocks collectively reduced). Appends are one masked scatter per
+frame — outside every hot loop.
 """
 
 from __future__ import annotations
@@ -25,7 +32,7 @@ from sfm_mvs_tpu.utils.config import MapConfig
 
 
 class MapState(NamedTuple):
-    """The reconstruction: sharded-friendly flat arrays + counters."""
+    """The reconstruction: sharding-friendly flat arrays + counters."""
 
     K: jnp.ndarray  # (3, 3) shared intrinsics
     poses: jnp.ndarray  # (max_cams, 3, 4) world->cam [R|t]
@@ -35,11 +42,8 @@ class MapState(NamedTuple):
     colors: jnp.ndarray  # (max_pts, 3) BGR in [0, 255]
     point_valid: jnp.ndarray  # (max_pts,) bool
     num_points: jnp.ndarray  # () int32
-    obs_cam: jnp.ndarray  # (max_obs,) int32 camera index
-    obs_point: jnp.ndarray  # (max_obs,) int32 point index
-    obs_uv: jnp.ndarray  # (max_obs, 2) pixel observation
-    obs_valid: jnp.ndarray  # (max_obs,) bool
-    num_obs: jnp.ndarray  # () int32
+    obs_uv: jnp.ndarray  # (max_pts, max_cams, 2) pixel observations
+    obs_mask: jnp.ndarray  # (max_pts, max_cams) bool
 
 
 def init_map(K: jnp.ndarray, cfg: MapConfig) -> MapState:
@@ -53,12 +57,13 @@ def init_map(K: jnp.ndarray, cfg: MapConfig) -> MapState:
         colors=jnp.zeros((cfg.max_points, 3), jnp.float32),
         point_valid=jnp.zeros((cfg.max_points,), bool),
         num_points=jnp.zeros((), jnp.int32),
-        obs_cam=jnp.full((cfg.max_obs,), -1, jnp.int32),
-        obs_point=jnp.full((cfg.max_obs,), -1, jnp.int32),
-        obs_uv=jnp.zeros((cfg.max_obs, 2), jnp.float32),
-        obs_valid=jnp.zeros((cfg.max_obs,), bool),
-        num_obs=jnp.zeros((), jnp.int32),
+        obs_uv=jnp.zeros((cfg.max_points, cfg.max_cameras, 2), jnp.float32),
+        obs_mask=jnp.zeros((cfg.max_points, cfg.max_cameras), bool),
     )
+
+
+def num_observations(state: MapState) -> jnp.ndarray:
+    return jnp.sum(state.obs_mask.astype(jnp.int32))
 
 
 def append_camera(state: MapState, pose: jnp.ndarray) -> tuple[MapState, jnp.ndarray]:
@@ -75,16 +80,15 @@ def append_camera(state: MapState, pose: jnp.ndarray) -> tuple[MapState, jnp.nda
 
 
 def _append_indices(count: jnp.ndarray, valid: jnp.ndarray, capacity: int):
-    """Scatter destinations for masked append: row i -> count + (#valid before i).
+    """Scatter destinations for a masked append.
 
-    Invalid rows are routed to `capacity` (dropped by XLA's out-of-bounds
-    scatter semantics... clipped), so we instead route them to a dead slot:
-    we clamp to capacity - 1 and rely on the validity write being False.
-    Returns (dest (N,), new_count ()).
+    Row i goes to `count + (#valid rows before i)`; invalid rows are routed
+    to index `capacity`, which `.at[].set(mode="drop")` discards. Returns
+    (dest (N,), new_count clamped to capacity).
     """
     offs = jnp.cumsum(valid.astype(jnp.int32)) - 1
     dest = count + offs
-    dest = jnp.where(valid, dest, capacity)  # OOB -> dropped by .at[] clip mode
+    dest = jnp.where(valid, dest, capacity)
     new_count = count + jnp.sum(valid.astype(jnp.int32))
     return dest, jnp.minimum(new_count, capacity)
 
@@ -97,8 +101,7 @@ def append_points(
 ) -> tuple[MapState, jnp.ndarray]:
     """Masked-append new 3D points. Returns (state, point_ids (N,)).
 
-    point_ids[i] is the map index for row i (undefined where ~valid; callers
-    must carry `valid` alongside).
+    point_ids[i] is the map index for row i, or -1 where ~valid.
     """
     capacity = state.points.shape[0]
     dest, new_count = _append_indices(state.num_points, valid, capacity)
@@ -120,16 +123,15 @@ def append_observations(
     uv: jnp.ndarray,
     valid: jnp.ndarray,
 ) -> MapState:
-    """Masked-append observations (cam_id scalar or (N,), point_ids (N,))."""
-    capacity = state.obs_cam.shape[0]
-    dest, new_count = _append_indices(state.num_obs, valid, capacity)
-    cam_ids = jnp.broadcast_to(jnp.asarray(cam_id, jnp.int32), point_ids.shape)
+    """Record observations of `point_ids` in camera `cam_id` (scalar).
+
+    One masked scatter into the dense (P, C) observation grid.
+    """
+    P = state.points.shape[0]
+    dest = jnp.where(valid & (point_ids >= 0), point_ids, P)
     return state._replace(
-        obs_cam=state.obs_cam.at[dest].set(cam_ids, mode="drop"),
-        obs_point=state.obs_point.at[dest].set(point_ids.astype(jnp.int32), mode="drop"),
-        obs_uv=state.obs_uv.at[dest].set(uv, mode="drop"),
-        obs_valid=state.obs_valid.at[dest].set(valid, mode="drop"),
-        num_obs=new_count,
+        obs_uv=state.obs_uv.at[dest, cam_id].set(uv, mode="drop"),
+        obs_mask=state.obs_mask.at[dest, cam_id].set(valid, mode="drop"),
     )
 
 

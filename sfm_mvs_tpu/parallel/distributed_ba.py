@@ -1,13 +1,15 @@
-"""Distributed bundle adjustment: observation-sharded Schur reduction.
+"""Distributed bundle adjustment: point-block-sharded Schur reduction.
 
-The map's observation table shards across the mesh (the 'sequence axis' of
-this domain, SURVEY.md §5); camera and point state is replicated. Each
-device computes its shard's residuals/Jacobians and PARTIAL segment-sums;
-psum over the mesh axis yields the exact global Hessian blocks, Schur
-products and CG inner products (ba.py threads the axis through every
-reduction). The LM trajectory is therefore identical to the single-device
-solve — verified in tests by bitwise-ish comparison — while the O(obs)
-work (the dominant cost) scales with device count over ICI.
+The map's dense (P, C) observation grid and its point state shard by
+POINT BLOCKS across the mesh (the 'sequence axis' of this domain,
+SURVEY.md §5); camera state is replicated. Each device eliminates its own
+point blocks entirely locally (V, V^-1, point back-substitution never
+leave the device); only the small reduced camera system — (C,6,6) Hessian
+blocks, (C,6) gradients and CG products — is psum-aggregated over ICI.
+That is exactly the "per-device Schur elimination of local point blocks,
+reduced camera blocks aggregated with collectives" design of SURVEY.md
+§2.3. The LM trajectory is identical to the single-device solve —
+verified in tests — while the O(P*C) work scales with device count.
 """
 
 from __future__ import annotations
@@ -25,13 +27,12 @@ from sfm_mvs_tpu.models.map_store import MapState
 
 
 def _specs(mesh: Mesh, axis: str):
-    """(in_spec tree for BAProblem): obs arrays sharded, the rest replicated."""
+    """BAProblem spec tree: point axis sharded, camera state replicated."""
     rep = P()
-    obs = P(axis)
+    pt = P(axis)
     return BAProblem(
-        cam_params=rep, points=rep, cam_valid=rep, point_valid=rep,
-        obs_cam=obs, obs_point=obs, obs_uv=obs, obs_valid=obs,
-        K=rep, frozen=rep,
+        cam_params=rep, points=pt, cam_valid=rep, point_valid=pt,
+        obs_uv=pt, obs_mask=pt, K=rep, frozen=rep,
     )
 
 
@@ -43,10 +44,10 @@ def run_ba_sharded(
     cg_iters: int = 20,
     damping_init: float = 1e-3,
 ) -> tuple[BAProblem, BAStats]:
-    """LM bundle adjustment with the observation table sharded over `axis`.
+    """LM bundle adjustment with point blocks sharded over `axis`.
 
-    Requires max_obs divisible by the axis size (capacities are powers of
-    two, so any power-of-two mesh works).
+    Requires max_points divisible by the axis size (capacities are powers
+    of two, so any power-of-two mesh works).
     """
     in_specs = _specs(mesh, axis)
     out_specs = (in_specs, BAStats(P(), P(), P(), P()))

@@ -78,8 +78,9 @@ class MapConfig:
     """Fixed-capacity map store (SURVEY.md §7 item 4)."""
 
     max_cameras: int = 64
-    max_points: int = 262_144
-    max_obs: int = 1_048_576
+    max_points: int = 131_072
+    # Observations are a dense (max_points, max_cameras) grid (one slot per
+    # point-camera pair), so obs capacity is implied by the two above.
 
 
 @dataclasses.dataclass(frozen=True)

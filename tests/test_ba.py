@@ -13,7 +13,7 @@ from sfm_mvs_tpu.utils.synthetic import make_scene
 
 def _build_problem(rng, C=5, P=300, point_noise=0.05, pose_noise=0.02, obs_noise=0.0):
     scene = make_scene(num_points=P, num_cameras=C, arc_degrees=50)
-    cfgm = MapConfig(max_cameras=8, max_points=512, max_obs=4096)
+    cfgm = MapConfig(max_cameras=8, max_points=512)
     state = map_store.init_map(jnp.asarray(scene.K), cfgm)
     for c in range(C):
         state, _ = map_store.append_camera(state, jnp.asarray(scene.Rt[c]))
@@ -77,10 +77,10 @@ def test_frozen_camera_unchanged(rng):
 
 def test_invalid_observations_ignored(rng):
     state, scene = _build_problem(rng, obs_noise=0.0)
-    # corrupt half the *invalid* region of the obs table: should not matter
-    n_obs = int(state.num_obs)
+    # corrupt every *masked-out* cell of the obs grid: must not matter
     obs_uv = np.asarray(state.obs_uv).copy()
-    obs_uv[n_obs:] = 1e6
+    mask = np.asarray(state.obs_mask)
+    obs_uv[~mask] = 1e6
     state_bad = state._replace(obs_uv=jnp.asarray(obs_uv))
     _, stats = ba.bundle_adjust_map(state_bad, max_iterations=10, cg_iters=20)
     assert np.isfinite(float(stats.final_cost))

@@ -7,7 +7,7 @@ import jax.numpy as jnp
 from sfm_mvs_tpu.models import map_store
 from sfm_mvs_tpu.utils.config import MapConfig
 
-CFG = MapConfig(max_cameras=4, max_points=16, max_obs=32)
+CFG = MapConfig(max_cameras=4, max_points=16)
 
 
 def _state():
@@ -51,20 +51,27 @@ def test_append_points_capacity_overflow():
     assert np.asarray(s.point_valid).sum() == 16
 
 
-def test_append_observations_and_second_batch():
+def test_append_observations_grid():
     s = _state()
     X = jnp.ones((4, 3))
     valid4 = jnp.ones(4, dtype=bool)
     s, pids = map_store.append_points(s, X, jnp.ones((4, 3)), valid4)
     uv = jnp.arange(8.0).reshape(4, 2)
     s = map_store.append_observations(s, 0, pids, uv, valid4)
-    assert int(s.num_obs) == 4
+    assert int(map_store.num_observations(s)) == 4
     mask2 = jnp.asarray([True, True, False, False])
     s = map_store.append_observations(s, 1, pids, uv, mask2)
-    assert int(s.num_obs) == 6
-    oc = np.asarray(s.obs_cam)
-    assert list(oc[:6]) == [0, 0, 0, 0, 1, 1]
-    np.testing.assert_allclose(np.asarray(s.obs_uv[4]), [0, 1])
+    assert int(map_store.num_observations(s)) == 6
+    om = np.asarray(s.obs_mask)
+    assert om[:4, 0].all() and om[0, 1] and om[1, 1]
+    assert not om[2, 1] and not om[3, 1]
+    np.testing.assert_allclose(np.asarray(s.obs_uv[1, 1]), [2, 3])
+    # invalid point ids (-1) are dropped
+    s = map_store.append_observations(
+        s, 2, jnp.asarray([-1, 0, -1, -1]), uv, valid4
+    )
+    om = np.asarray(s.obs_mask)
+    assert om[:, 2].sum() == 1 and om[0, 2]
 
 
 def test_update_points_and_poses():

@@ -55,7 +55,7 @@ def test_match_pairs_sharded(mesh8):
 
 def _ba_state(rng, C=4, P=256):
     scene = make_scene(num_points=P, num_cameras=C, arc_degrees=40)
-    cfgm = MapConfig(max_cameras=8, max_points=512, max_obs=2048)
+    cfgm = MapConfig(max_cameras=8, max_points=512)
     state = map_store.init_map(jnp.asarray(scene.K), cfgm)
     for c in range(C):
         state, _ = map_store.append_camera(state, jnp.asarray(scene.Rt[c]))

@@ -23,7 +23,7 @@ def reconstruction():
             max_features=1024, num_octaves=3, upsample_input=True,
             contrast_threshold=0.015, lowe_ratio=0.75,
         ),
-        map=MapConfig(max_cameras=8, max_points=16384, max_obs=65536),
+        map=MapConfig(max_cameras=8, max_points=16384),
     )
     sfm = IncrementalSfM(cfg)
     state = sfm.run(imgs)
@@ -32,9 +32,11 @@ def reconstruction():
 
 def test_all_cameras_registered(reconstruction):
     sfm, state, Rt_gt = reconstruction
+    from sfm_mvs_tpu.models import map_store
+
     assert int(np.asarray(state.cam_valid).sum()) == 5
     assert int(state.num_points) > 100
-    assert int(state.num_obs) > 2 * int(state.num_points)
+    assert int(map_store.num_observations(state)) > 2 * int(state.num_points)
 
 
 def test_trajectory_matches_ground_truth(reconstruction):
@@ -53,19 +55,16 @@ def test_reprojection_error_below_reference_target(reconstruction):
         assert s["reproj_error"] < 1.0
 
 
-def test_observation_table_consistency(reconstruction):
+def test_observation_grid_consistency(reconstruction):
     sfm, state, Rt_gt = reconstruction
-    n_obs = int(state.num_obs)
-    oc = np.asarray(state.obs_cam)[:n_obs]
-    op = np.asarray(state.obs_point)[:n_obs]
-    ov = np.asarray(state.obs_valid)[:n_obs]
-    assert ov.all()
-    assert (oc >= 0).all() and (oc < int(state.num_cams)).all()
-    assert (op >= 0).all() and (op < int(state.num_points)).all()
-    # every valid point referenced by >= 2 observations (triangulated + seen)
-    counts = np.bincount(op, minlength=int(state.num_points))
-    pv = np.asarray(state.point_valid)[: int(state.num_points)]
-    assert (counts[pv] >= 2).all()
+    mask = np.asarray(state.obs_mask)
+    pv = np.asarray(state.point_valid)
+    n_cams = int(state.num_cams)
+    # observations only in valid cameras and valid points
+    assert not mask[:, n_cams:].any()
+    assert not mask[~pv].any()
+    # every valid point observed by >= 2 cameras (triangulated + seen)
+    assert (mask[pv].sum(axis=1) >= 2).all()
 
 
 def test_points_near_ground_truth_planes(reconstruction):
