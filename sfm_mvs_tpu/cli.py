@@ -1,0 +1,151 @@
+"""Command-line interface: the reference's `python3 sfm.py`, done properly.
+
+The reference requires editing source globals to configure anything
+(README.md:12 "open sfm.py ... Line 30"; K at sfm.py:16, downscale at
+sfm.py:19, BA flag at sfm.py:33). Here everything is a flag:
+
+    python -m sfm_mvs_tpu --image-dir /data/gustav \
+        --fx 2393.95 --fy 2398.12 --cx 932.38 --cy 628.26 \
+        --downscale 2 --ba --out Point_Cloud
+
+Outputs: sparse.ply (reference cleaning semantics), pose.csv, cameras.ply
+frusta, reprojection-error plot, metrics.jsonl; checkpoints every K frames
+with --checkpoint-every.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="sfm_mvs_tpu", description="TPU-native incremental Structure-from-Motion"
+    )
+    p.add_argument("--image-dir", required=True, help="directory of ordered .jpg/.png")
+    p.add_argument("--out", default="Point_Cloud", help="output directory")
+    p.add_argument("--fx", type=float, default=2393.952166119461)
+    p.add_argument("--fy", type=float, default=2398.118540286656)
+    p.add_argument("--cx", type=float, default=932.3821770809047)
+    p.add_argument("--cy", type=float, default=628.2649953288065)
+    p.add_argument("--downscale", type=int, default=2, help="power-of-two (sfm.py:19)")
+    p.add_argument("--max-images", type=int, default=None)
+    p.add_argument("--max-features", type=int, default=4096)
+    p.add_argument("--lowe-ratio", type=float, default=0.70)
+    p.add_argument("--contrast-threshold", type=float, default=0.012)
+    p.add_argument("--no-upsample", action="store_true", help="skip 2x input doubling")
+    p.add_argument("--essential-threshold", type=float, default=1.0)
+    p.add_argument("--pnp-threshold", type=float, default=4.0)
+    p.add_argument("--ba", action="store_true", help="enable bundle adjustment")
+    p.add_argument("--ba-cadence", type=int, default=1, help="BA every K frames")
+    p.add_argument("--ba-iterations", type=int, default=10)
+    p.add_argument("--max-cameras", type=int, default=64)
+    p.add_argument("--max-points", type=int, default=65536)
+    p.add_argument("--checkpoint-every", type=int, default=0)
+    p.add_argument("--resume", action="store_true", help="resume from last checkpoint")
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def config_from_args(args) -> "SfmConfig":
+    from sfm_mvs_tpu.utils.config import (
+        BaConfig, FrontendConfig, MapConfig, RansacConfig, SfmConfig,
+    )
+
+    return SfmConfig(
+        fx=args.fx, fy=args.fy, cx=args.cx, cy=args.cy, downscale=args.downscale,
+        image_dir=args.image_dir, output_dir=args.out, max_images=args.max_images,
+        frontend=FrontendConfig(
+            max_features=args.max_features,
+            lowe_ratio=args.lowe_ratio,
+            contrast_threshold=args.contrast_threshold,
+            upsample_input=not args.no_upsample,
+        ),
+        ransac=RansacConfig(
+            essential_threshold_px=args.essential_threshold,
+            pnp_threshold_px=args.pnp_threshold,
+            seed=args.seed,
+        ),
+        ba=BaConfig(
+            enabled=args.ba, cadence=args.ba_cadence, max_iterations=args.ba_iterations
+        ),
+        map=MapConfig(max_cameras=args.max_cameras, max_points=args.max_points),
+    )
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args)
+
+    import jax.numpy as jnp
+
+    from sfm_mvs_tpu.models.incremental import IncrementalSfM
+    from sfm_mvs_tpu.ops.pyramid import img_downscale
+    from sfm_mvs_tpu.utils import checkpoint as ckpt
+    from sfm_mvs_tpu.utils import io, metrics, viz
+
+    paths = io.list_images(args.image_dir)
+    if args.max_images:
+        paths = paths[: args.max_images]
+    if len(paths) < 2:
+        print(f"need >= 2 images in {args.image_dir}", file=sys.stderr)
+        return 2
+
+    print(f"loading {len(paths)} images (downscale={args.downscale}) ...")
+    grays, bgrs = [], []
+    for path in paths:
+        g = io.load_image_gray(path)
+        b = io.load_image_bgr(path)
+        if args.downscale > 1:
+            g = np.asarray(img_downscale(jnp.asarray(g), args.downscale))
+            b = np.stack(
+                [
+                    np.asarray(img_downscale(jnp.asarray(b[..., c]), args.downscale))
+                    for c in range(3)
+                ],
+                axis=-1,
+            )
+        grays.append(g)
+        bgrs.append(b)
+
+    os.makedirs(args.out, exist_ok=True)
+    logger = metrics.MetricsLogger(os.path.join(args.out, "metrics.jsonl"))
+    ckpt_dir = os.path.join(args.out, "checkpoints")
+    sfm = IncrementalSfM(
+        cfg,
+        metrics=logger,
+        checkpoint_dir=ckpt_dir if args.checkpoint_every else None,
+        checkpoint_every=args.checkpoint_every,
+    )
+
+    resume_state, resume_frame = None, 0
+    if args.resume:
+        latest = ckpt.latest_checkpoint(ckpt_dir)
+        if latest:
+            resume_state, resume_frame = ckpt.load_pipeline(latest)
+            print(f"resuming from {latest} (frame {resume_frame})")
+
+    state = sfm.run(
+        grays, bgrs, seed=args.seed,
+        resume_state=resume_state, resume_frame=resume_frame,
+    )
+
+    n = io.map_to_ply(os.path.join(args.out, "sparse.ply"), state,
+                      scale=cfg.ply_scale, outlier_offset=cfg.ply_outlier_offset)
+    io.map_pose_csv(os.path.join(args.out, "pose.csv"), state)
+    poses = np.asarray(state.poses)[np.asarray(state.cam_valid)]
+    viz.save_camera_frusta_ply(os.path.join(args.out, "cameras.ply"), poses)
+    errs = [s["reproj_error"] for s in sfm.stats]
+    viz.save_error_plot(os.path.join(args.out, "reproj_error.png"), errs)
+    print(f"done: {len(poses)} cameras, {n} cloud points -> {args.out}/")
+    print(logger.summary())
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -186,25 +186,74 @@ def register_frame(
 class IncrementalSfM:
     """Host-side driver: decode -> detect -> bootstrap/register -> export.
 
-    The equivalent of running `python3 sfm.py` (README.md:13), as a library.
+    The equivalent of running `python3 sfm.py` (README.md:13), as a
+    library: per frame it detects, registers (PnP + triangulation), then
+    optionally bundle-adjusts every `cfg.ba.cadence` frames and
+    checkpoints every `checkpoint_every` frames.
     """
 
-    def __init__(self, config: Optional[SfmConfig] = None):
+    def __init__(
+        self,
+        config: Optional[SfmConfig] = None,
+        metrics=None,
+        checkpoint_dir: Optional[str] = None,
+        checkpoint_every: int = 0,
+    ):
         self.config = config or SfmConfig()
         self.stats: list[dict] = []
+        self.metrics = metrics
+        self.checkpoint_dir = checkpoint_dir
+        self.checkpoint_every = checkpoint_every
+
+    def _maybe_ba(self, pstate: PipelineState, frame: int) -> PipelineState:
+        cfg = self.config
+        if not cfg.ba.enabled:
+            return pstate
+        if cfg.ba.cadence > 1 and (frame % cfg.ba.cadence) != 0:
+            return pstate
+        from sfm_mvs_tpu.models import ba as ba_mod
+
+        mstate, ba_stats = ba_mod.bundle_adjust_map(
+            pstate.map, max_iterations=cfg.ba.max_iterations
+        )
+        if self.metrics is not None:
+            self.metrics.log(
+                event="ba",
+                frame=frame,
+                initial_cost=float(ba_stats.initial_cost),
+                final_cost=float(ba_stats.final_cost),
+                accepted=int(ba_stats.accepted),
+            )
+        return pstate._replace(map=mstate)
+
+    def _maybe_checkpoint(self, pstate: PipelineState, frame: int) -> None:
+        if not self.checkpoint_dir or not self.checkpoint_every:
+            return
+        if frame % self.checkpoint_every == 0:
+            from sfm_mvs_tpu.utils import checkpoint as ckpt
+
+            ckpt.save_pipeline(
+                f"{self.checkpoint_dir}/frame_{frame:05d}.npz", pstate, frame
+            )
 
     def run(
         self,
         images_gray: Sequence[np.ndarray],
         images_bgr: Optional[Sequence[np.ndarray]] = None,
         seed: int = 0,
+        resume_state: Optional[PipelineState] = None,
+        resume_frame: int = 0,
     ) -> MapState:
         """Reconstruct from an ordered image sequence.
 
         images_gray: list of (H, W) float32 in [0, 1].
         images_bgr: optional matching list of (H, W, 3) color images for
         point-cloud colors; grayscale is replicated when absent.
+        resume_state/resume_frame: continue a checkpointed run — frames
+        up to and including `resume_frame` are skipped.
         """
+        import time as _time
+
         cfg = self.config
         K = jnp.asarray(cfg.intrinsic_matrix())
         if images_bgr is None:
@@ -212,23 +261,42 @@ class IncrementalSfM:
                 np.repeat((g * 255.0)[..., None], 3, axis=-1) for g in images_gray
             ]
         key = jax.random.PRNGKey(seed)
-        feats = [
-            sift.detect_and_compute(jnp.asarray(g), cfg.frontend) for g in images_gray[:2]
-        ]
-        key, k0 = jax.random.split(key)
-        pstate, st = init_from_bootstrap(
-            k0, feats[0], feats[1], jnp.asarray(images_bgr[1]), K, cfg
-        )
-        self.stats.append(self._stat_dict(1, st))
-        for i in range(2, len(images_gray)):
+        if resume_state is not None:
+            pstate = resume_state
+            start = resume_frame + 1
+            for _ in range(start):
+                key, _ = jax.random.split(key)
+        else:
+            feats = [
+                sift.detect_and_compute(jnp.asarray(g), cfg.frontend)
+                for g in images_gray[:2]
+            ]
+            key, k0 = jax.random.split(key)
+            pstate, st = init_from_bootstrap(
+                k0, feats[0], feats[1], jnp.asarray(images_bgr[1]), K, cfg
+            )
+            self._record(1, st, 0.0)
+            start = 2
+        for i in range(start, len(images_gray)):
+            t0 = _time.time()
             f = sift.detect_and_compute(jnp.asarray(images_gray[i]), cfg.frontend)
             key, ki = jax.random.split(key)
             pstate, st = register_frame(
                 ki, pstate, f, jnp.asarray(images_bgr[i]), cfg
             )
-            self.stats.append(self._stat_dict(i, st))
+            pstate = self._maybe_ba(pstate, i)
+            jax.block_until_ready(pstate.map.points)
+            self._record(i, st, _time.time() - t0)
+            self._maybe_checkpoint(pstate, i)
         self.state = pstate
         return pstate.map
+
+    def _record(self, frame: int, st: FrameStats, wall_s: float) -> None:
+        d = self._stat_dict(frame, st)
+        d["wall_s"] = wall_s
+        self.stats.append(d)
+        if self.metrics is not None:
+            self.metrics.log(event="frame", **d)
 
     @staticmethod
     def _stat_dict(frame: int, st: FrameStats) -> dict:
