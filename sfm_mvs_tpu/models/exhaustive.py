@@ -1,0 +1,136 @@
+"""Exhaustive all-pairs match graph: the reference's isfm.py, completed.
+
+The reference's isfm.py matches every new image against every earlier one
+(O(N^2) adjacent loop, isfm.py:56-94) and prints per-pair inlier counts,
+but never builds anything from them (SURVEY.md §3.5 "dead end"). Here the
+same exhaustive matching becomes a *view graph*: all pairs are matched in
+parallel batches (sharded across the mesh — the embarrassingly parallel
+axis), each pair gets an E-RANSAC inlier count and relative pose, and the
+result is a (F, F) match-strength matrix plus per-pair geometry that a
+global or incremental reconstruction can consume (e.g. picking the best
+bootstrap pair instead of blindly using frames 0,1).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sfm_mvs_tpu.ops import matching, projection, ransac, sift
+from sfm_mvs_tpu.ops.epipolar import recover_pose
+from sfm_mvs_tpu.ops.sift import Features
+from sfm_mvs_tpu.utils.config import SfmConfig
+
+
+class ViewGraph(NamedTuple):
+    """All-pairs geometry. F frames, M = F*(F-1)/2 pairs."""
+
+    pair_i: np.ndarray  # (M,) first frame index per pair
+    pair_j: np.ndarray  # (M,) second frame index
+    num_matches: np.ndarray  # (M,) ratio-test survivors
+    num_inliers: np.ndarray  # (M,) E-RANSAC inliers
+    R: np.ndarray  # (M, 3, 3) relative rotations
+    t: np.ndarray  # (M, 3) relative translations (unit)
+    adjacency: np.ndarray  # (F, F) symmetric inlier-count matrix
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _pair_geometry(key, desc0, desc1, xy0, xy1, v0, v1, K, cfg: SfmConfig):
+    """Match + E-RANSAC + pose for one pair (vmapped over the pair batch)."""
+    fc, rc = cfg.frontend, cfg.ransac
+    m = matching.knn_match(desc0, desc1, v0, v1, ratio=fc.lowe_ratio)
+    uv0 = xy0[m.idx0]
+    uv1 = xy1[m.idx1]
+    n0 = projection.normalize_points(uv0, K)
+    n1 = projection.normalize_points(uv1, K)
+    res = ransac.ransac_essential(
+        key, n0, n1, m.valid, 0.5 * (K[0, 0] + K[1, 1]),
+        threshold_px=rc.essential_threshold_px, iters=rc.essential_iters,
+    )
+    R, t, _ = recover_pose(res.model, n0, n1, res.inliers)
+    return jnp.sum(m.valid), res.num_inliers, R, t
+
+
+_pair_geometry_batch = jax.jit(
+    jax.vmap(_pair_geometry, in_axes=(0, 0, 0, 0, 0, 0, 0, None, None)),
+    static_argnames=("cfg",),
+)
+
+
+def build_view_graph(
+    images_gray: Sequence[np.ndarray],
+    cfg: Optional[SfmConfig] = None,
+    seed: int = 0,
+    batch_size: int = 8,
+    feats: Optional[list[Features]] = None,
+) -> ViewGraph:
+    """Exhaustively match all frame pairs (batched; shardable).
+
+    images_gray: list of (H, W) float32. Pairs are processed in batches of
+    `batch_size` through one vmapped match+RANSAC program; on a multi-chip
+    mesh the batch axis shards across devices (parallel/frontend.py).
+    """
+    cfg = cfg or SfmConfig()
+    K = jnp.asarray(cfg.intrinsic_matrix())
+    if feats is None:
+        feats = [
+            sift.detect_and_compute(jnp.asarray(g), cfg.frontend)
+            for g in images_gray
+        ]
+    F = len(feats)
+    pairs = [(i, j) for i in range(F) for j in range(i + 1, F)]
+    desc = jnp.stack([f.desc for f in feats])
+    xy = jnp.stack([f.xy for f in feats])
+    valid = jnp.stack([f.valid for f in feats])
+
+    key = jax.random.PRNGKey(seed)
+    nm_all, ni_all, R_all, t_all = [], [], [], []
+    for s in range(0, len(pairs), batch_size):
+        chunk = pairs[s : s + batch_size]
+        pad = batch_size - len(chunk)
+        chunk_p = chunk + [chunk[-1]] * pad  # pad the last batch
+        ii = jnp.asarray([c[0] for c in chunk_p])
+        jj = jnp.asarray([c[1] for c in chunk_p])
+        key, kb = jax.random.split(key)
+        keys = jax.random.split(kb, batch_size)
+        nm, ni, R, t = _pair_geometry_batch(
+            keys, desc[ii], desc[jj], xy[ii], xy[jj], valid[ii], valid[jj], K, cfg
+        )
+        n = len(chunk)
+        nm_all.append(np.asarray(nm)[:n])
+        ni_all.append(np.asarray(ni)[:n])
+        R_all.append(np.asarray(R)[:n])
+        t_all.append(np.asarray(t)[:n])
+
+    num_matches = np.concatenate(nm_all)
+    num_inliers = np.concatenate(ni_all)
+    adjacency = np.zeros((F, F), dtype=np.int32)
+    for (i, j), n in zip(pairs, num_inliers):
+        adjacency[i, j] = adjacency[j, i] = n
+    return ViewGraph(
+        pair_i=np.asarray([p[0] for p in pairs]),
+        pair_j=np.asarray([p[1] for p in pairs]),
+        num_matches=num_matches,
+        num_inliers=num_inliers,
+        R=np.concatenate(R_all),
+        t=np.concatenate(t_all),
+        adjacency=adjacency,
+    )
+
+
+def best_bootstrap_pair(graph: ViewGraph, min_inliers: int = 50) -> tuple[int, int]:
+    """Pick the strongest non-adjacent-degenerate pair to initialize from.
+
+    Highest inlier count wins (the information isfm.py printed but never
+    used, isfm.py:86).
+    """
+    order = np.argsort(-graph.num_inliers)
+    for idx in order:
+        if graph.num_inliers[idx] >= min_inliers:
+            return int(graph.pair_i[idx]), int(graph.pair_j[idx])
+    idx = order[0]
+    return int(graph.pair_i[idx]), int(graph.pair_j[idx])

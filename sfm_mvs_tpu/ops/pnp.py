@@ -74,6 +74,52 @@ def pnp_dlt(
     return jnp.concatenate([R, t[:, None]], axis=1)
 
 
+def pnp_planar(
+    X: jnp.ndarray, uv_norm: jnp.ndarray, weights: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """Pose from a world-plane homography (planar-degenerate-safe PnP).
+
+    The 12-dof DLT (:func:`pnp_dlt`) is structurally rank-deficient when
+    the 3D points are (near-)coplanar — the classic planar PnP degeneracy.
+    This solver fits the dominant plane of the sample by weighted PCA,
+    estimates the homography from in-plane coordinates to normalized image
+    coordinates (4+ points suffice), and decomposes H = s [R e1 | R e2 |
+    R m + t] into a pose (Zhang-style). Exact for coplanar points, a
+    reasonable hypothesis otherwise; RANSAC runs both families and lets
+    inlier counting pick (ransac.ransac_pnp).
+    """
+    w = jnp.ones(X.shape[0], X.dtype) if weights is None else weights
+    wsum = jnp.maximum(jnp.sum(w), 1e-6)
+    mean = jnp.sum(X * w[:, None], axis=0) / wsum
+    Xc = X - mean
+    cov = (Xc * w[:, None]).T @ Xc / wsum
+    evals, evecs = jnp.linalg.eigh(cov)  # ascending
+    e1 = evecs[:, 2]
+    e2 = evecs[:, 1]
+    pu = Xc @ e1
+    pv = Xc @ e2
+    from sfm_mvs_tpu.ops.homography import homography_dlt
+
+    H = homography_dlt(jnp.stack([pu, pv], axis=-1), uv_norm, w)
+    # Choose the sign that puts the plane in front of the camera.
+    H = H * jnp.where(H[2, 2] > 0, 1.0, -1.0)
+    h1, h2, h3 = H[:, 0], H[:, 1], H[:, 2]
+    n1 = jnp.linalg.norm(h1)
+    n2 = jnp.linalg.norm(h2)
+    s = jnp.sqrt(jnp.maximum(n1 * n2, 1e-12))
+    r1 = h1 / jnp.maximum(n1, 1e-12)
+    r2 = h2 - jnp.dot(r1, h2) * r1
+    r2 = r2 / jnp.maximum(jnp.linalg.norm(r2), 1e-12)
+    r3 = jnp.cross(r1, r2)
+    # R maps world->cam with R e1 = r1, R e2 = r2, R e3 = r3.
+    e3 = jnp.cross(e1, e2)
+    E = jnp.stack([e1, e2, e3], axis=1)  # world basis as columns
+    R = jnp.stack([r1, r2, r3], axis=1) @ E.T
+    R = lie.orthonormalize(R)
+    t = h3 / s - R @ mean
+    return jnp.concatenate([R, t[:, None]], axis=1)
+
+
 def refine_pose_gauss_newton(
     Rt: jnp.ndarray,
     X: jnp.ndarray,

@@ -120,10 +120,19 @@ def ransac_pnp(
     k1, _ = jax.random.split(key)
     idx = _sample_indices(k1, iters, 6, count, N)
 
-    def solve(sample_idx):
+    # Two hypothesis families per sample: the general 12-dof DLT and the
+    # planar homography-decomposition solver (the DLT is structurally
+    # degenerate for coplanar samples — see pnp.pnp_planar). Inlier
+    # counting picks the right family automatically.
+    def solve_dlt(sample_idx):
         return pnp.pnp_dlt(cX[sample_idx], cuvn[sample_idx])
 
-    Rts = jax.vmap(solve)(idx)  # (iters, 3, 4)
+    def solve_planar(sample_idx):
+        return pnp.pnp_planar(cX[sample_idx], cuvn[sample_idx])
+
+    Rts = jnp.concatenate(
+        [jax.vmap(solve_dlt)(idx), jax.vmap(solve_planar)(idx)], axis=0
+    )  # (2*iters, 3, 4)
 
     def score(Rt):
         return pnp.pnp_residual_pixels(Rt, X, uv_pix, K)
@@ -133,13 +142,14 @@ def ransac_pnp(
     Rt = Rts[best]
     inliers = inl[best]
 
-    # DLT refit on all inliers, then damped Gauss-Newton polish.
-    Rt = pnp.pnp_dlt(X, uv_norm, inliers.astype(X.dtype))
-    res = pnp.pnp_residual_pixels(Rt, X, uv_pix, K)
-    inliers = (res < threshold_px) & mask
-    Rt = pnp.refine_pose_gauss_newton(Rt, X, uv_pix, inliers, K, iters=refine_iters)
-    res = pnp.pnp_residual_pixels(Rt, X, uv_pix, K)
-    inliers = (res < threshold_px) & mask
+    # Gauss-Newton polish + reclassification rounds (no DLT refit: it
+    # would re-enter the planar degeneracy; GN is degeneracy-free).
+    for _ in range(2):
+        Rt = pnp.refine_pose_gauss_newton(
+            Rt, X, uv_pix, inliers, K, iters=refine_iters
+        )
+        res = pnp.pnp_residual_pixels(Rt, X, uv_pix, K)
+        inliers = (res < threshold_px) & mask
     return RansacResult(Rt, inliers, jnp.sum(inliers))
 
 
