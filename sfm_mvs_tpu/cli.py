@@ -97,21 +97,15 @@ def main(argv=None) -> int:
         return 2
 
     print(f"loading {len(paths)} images (downscale={args.downscale}) ...")
+    from sfm_mvs_tpu.native import ImageLoader
+
+    loader = ImageLoader(paths, downscale=args.downscale, load_color=True)
     grays, bgrs = [], []
-    for path in paths:
-        g = io.load_image_gray(path)
-        b = io.load_image_bgr(path)
-        if args.downscale > 1:
-            g = np.asarray(img_downscale(jnp.asarray(g), args.downscale))
-            b = np.stack(
-                [
-                    np.asarray(img_downscale(jnp.asarray(b[..., c]), args.downscale))
-                    for c in range(3)
-                ],
-                axis=-1,
-            )
+    for i in range(len(paths)):
+        g, b = loader.get(i)
         grays.append(g)
         bgrs.append(b)
+    loader.close()
 
     os.makedirs(args.out, exist_ok=True)
     logger = metrics.MetricsLogger(os.path.join(args.out, "metrics.jsonl"))

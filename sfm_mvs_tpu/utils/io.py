@@ -32,9 +32,13 @@ end_header
 def load_image_gray(path: str, downscale: int = 1) -> np.ndarray:
     """Decode an image file to (H, W) float32 grayscale in [0, 1].
 
-    Host-side (PIL) — the TPU-native replacement for cv2.imread+cvtColor
-    (sfm.py:301,243); downscaling happens on-device via pyramid.img_downscale.
+    Replacement for cv2.imread+cvtColor (sfm.py:301,243): the native C++
+    decoder (native/sfm_native.cc) when built, PIL otherwise.
     """
+    from sfm_mvs_tpu import native
+
+    if native.available():
+        return native.decode_gray(path)
     from PIL import Image
 
     img = np.asarray(Image.open(path).convert("L"), dtype=np.float32) / 255.0
@@ -43,6 +47,10 @@ def load_image_gray(path: str, downscale: int = 1) -> np.ndarray:
 
 def load_image_bgr(path: str) -> np.ndarray:
     """Decode to (H, W, 3) float32 BGR in [0, 255] (reference color order)."""
+    from sfm_mvs_tpu import native
+
+    if native.available():
+        return native.decode_bgr(path)
     from PIL import Image
 
     rgb = np.asarray(Image.open(path).convert("RGB"), dtype=np.float32)
@@ -71,6 +79,13 @@ def to_ply(
     Cleaning: scale x`scale`, drop points farther than mean centroid
     distance + `outlier_offset` (sfm.py:170-181).
     """
+    from sfm_mvs_tpu import native
+
+    if native.available():
+        return native.write_ply(
+            path, np.asarray(points), np.asarray(colors),
+            scale=scale, outlier_offset=outlier_offset,
+        )
     pts = points.reshape(-1, 3) * scale
     cols = colors.reshape(-1, 3)
     mean = pts.mean(axis=0)
