@@ -106,9 +106,8 @@ def register_frame(
     prev = pstate.prev_feats
 
     # 1. Match previous frame -> new frame (sfm.py:347 find_features).
-    m = matching.knn_match(
-        prev.desc, new_feats.desc, prev.valid, new_feats.valid,
-        ratio=fc.lowe_ratio, mutual=fc.mutual_check,
+    m = matching.match_with_config(
+        prev.desc, new_feats.desc, prev.valid, new_feats.valid, fc
     )
     uv_prev, uv_new, mvalid = matching.gather_match_points(prev.xy, new_feats.xy, m)
 

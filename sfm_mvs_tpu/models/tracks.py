@@ -49,9 +49,8 @@ class PairEstimate(NamedTuple):
 def estimate_pair(key, feats0, feats1, K, cfg: SfmConfig) -> PairEstimate:
     """Match one adjacent pair; estimate E (-> relative pose) and H."""
     fc, rc = cfg.frontend, cfg.ransac
-    m = matching.knn_match(
-        feats0.desc, feats1.desc, feats0.valid, feats1.valid,
-        ratio=fc.lowe_ratio, mutual=fc.mutual_check,
+    m = matching.match_with_config(
+        feats0.desc, feats1.desc, feats0.valid, feats1.valid, fc
     )
     uv0, uv1, mvalid = matching.gather_match_points(feats0.xy, feats1.xy, m)
     n0 = projection.normalize_points(uv0, K)

@@ -51,9 +51,8 @@ def bootstrap(
     chain (sfm.py:314-315).
     """
     fc, rc = cfg.frontend, cfg.ransac
-    m = matching.knn_match(
-        feats0.desc, feats1.desc, feats0.valid, feats1.valid,
-        ratio=fc.lowe_ratio, mutual=fc.mutual_check,
+    m = matching.match_with_config(
+        feats0.desc, feats1.desc, feats0.valid, feats1.valid, fc
     )
     uv0, uv1, mvalid = matching.gather_match_points(feats0.xy, feats1.xy, m)
     n0 = projection.normalize_points(uv0, K)

@@ -92,6 +92,23 @@ def knn_match(
     return Matches(idx0=idx0, idx1=j1.astype(jnp.int32), valid=ok)
 
 
+def match_with_config(desc0, desc1, valid0, valid1, cfg) -> "Matches":
+    """Dispatch to the Pallas fused kernel or the XLA path per config.
+
+    cfg: FrontendConfig. The Pallas kernel (matching_pallas.py) streams
+    train tiles through VMEM (the distance matrix never reaches HBM) —
+    preferable at large feature capacities; the XLA path supports the
+    mutual check and is the default.
+    """
+    if getattr(cfg, "use_pallas_matcher", False) and not cfg.mutual_check:
+        from sfm_mvs_tpu.ops.matching_pallas import knn_match_pallas
+
+        return knn_match_pallas(desc0, desc1, valid0, valid1, ratio=cfg.lowe_ratio)
+    return knn_match(
+        desc0, desc1, valid0, valid1, ratio=cfg.lowe_ratio, mutual=cfg.mutual_check
+    )
+
+
 def gather_match_points(kp0: jnp.ndarray, kp1: jnp.ndarray, matches: Matches):
     """Matched pixel-coordinate arrays (the reference's pts0/pts1 output).
 

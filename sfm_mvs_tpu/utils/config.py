@@ -35,6 +35,7 @@ class FrontendConfig:
     descriptor_width: int = 4  # 4x4 spatial bins
     descriptor_bins: int = 8  # orientation bins -> 128-d descriptor
     # Matching
+    use_pallas_matcher: bool = False  # fused VMEM-streaming 2-NN kernel
     lowe_ratio: float = 0.70  # sfm.py:264
     mutual_check: bool = False  # reference BFMatcher.knnMatch is one-directional
     max_matches: int = 4096  # fixed capacity

@@ -1,0 +1,66 @@
+"""Pallas fused 2-NN kernel vs the XLA reference implementation.
+
+Runs in interpreter mode on CPU; the same kernel compiles for TPU (the
+bench exercises it there).
+"""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from sfm_mvs_tpu.ops import matching
+from sfm_mvs_tpu.ops.matching_pallas import knn_match_pallas
+
+
+def _descs(rng, n, d=128):
+    x = rng.random((n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+def test_matches_xla_reference(rng):
+    d0 = _descs(rng, 300)
+    perm = rng.permutation(300)
+    d1 = d0[perm] + 0.01 * rng.standard_normal((300, 128)).astype(np.float32)
+    d1 /= np.linalg.norm(d1, axis=1, keepdims=True)
+    v = jnp.ones(300, dtype=bool)
+    ref = matching.knn_match(jnp.asarray(d0), jnp.asarray(d1), v, v, ratio=0.7)
+    ours = knn_match_pallas(
+        jnp.asarray(d0), jnp.asarray(d1), v, v, ratio=0.7, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(ours.valid), np.asarray(ref.valid))
+    rv = np.asarray(ref.valid)
+    np.testing.assert_array_equal(
+        np.asarray(ours.idx1)[rv], np.asarray(ref.idx1)[rv]
+    )
+    assert rv.sum() > 200
+
+
+def test_multi_tile_sizes(rng):
+    """Exercise >1 train tile and padded remainders (600 = 2x256 + 88)."""
+    d0 = _descs(rng, 100)
+    d1 = np.vstack([_descs(rng, 500), d0[:100]]).astype(np.float32)
+    v0 = jnp.ones(100, dtype=bool)
+    v1 = jnp.ones(600, dtype=bool)
+    ref = matching.knn_match(jnp.asarray(d0), jnp.asarray(d1), v0, v1, ratio=0.8)
+    ours = knn_match_pallas(
+        jnp.asarray(d0), jnp.asarray(d1), v0, v1, ratio=0.8, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(ours.valid), np.asarray(ref.valid))
+    rv = np.asarray(ref.valid)
+    np.testing.assert_array_equal(np.asarray(ours.idx1)[rv], np.asarray(ref.idx1)[rv])
+    # exact copies live in the second train tile: indices >= 500
+    assert (np.asarray(ours.idx1)[rv] >= 500).all()
+
+
+def test_invalid_masks(rng):
+    d0 = _descs(rng, 64)
+    d1 = np.vstack([d0[:32], d0[:32]]).astype(np.float32)
+    v0 = jnp.asarray(np.arange(64) < 40)
+    v1 = jnp.asarray(np.arange(64) < 32)
+    ours = knn_match_pallas(
+        jnp.asarray(d0), jnp.asarray(d1), v0, v1, ratio=0.7, interpret=True
+    )
+    ov = np.asarray(ours.valid)
+    assert not ov[40:].any()  # invalid queries never valid
+    assert ov[:32].all()  # unique matches survive (duplicate cols masked)
+    assert (np.asarray(ours.idx1)[:32] == np.arange(32)).all()
