@@ -172,6 +172,7 @@ def render_staircase_sequence(
     depth_spread: float = 2.0,
     texture_size: int = 1024,
     seed: int = 0,
+    return_depth: bool = False,
 ):
     """Render vertical textured strips at staggered depths (a "staircase").
 
@@ -195,7 +196,7 @@ def render_staircase_sequence(
     ey = np.array([0, 1.0, 0])
     ez = np.array([0, 0, 1.0])
     angles = np.deg2rad(np.linspace(-arc_degrees / 2, arc_degrees / 2, num_cameras))
-    Rts, images = [], []
+    Rts, images, depth_maps = [], [], []
     Kinv = np.linalg.inv(K)
     u, v = np.meshgrid(np.arange(W, dtype=np.float64), np.arange(H, dtype=np.float64))
     pix = np.stack([u, v, np.ones_like(u)], axis=-1)
@@ -242,6 +243,11 @@ def render_staircase_sequence(
             img = np.where(ok, val, img).astype(np.float32)
             best_t = np.where(ok, tt, best_t)
         images.append(img)
+        # best_t is the camera-frame z depth: ray dirs come from K^-1 p,
+        # whose camera z component is exactly 1.
+        depth_maps.append(np.where(np.isfinite(best_t), best_t, 0.0).astype(np.float32))
+    if return_depth:
+        return images, np.stack(Rts).astype(np.float32), K, depth_maps
     return images, np.stack(Rts).astype(np.float32), K
 
 
