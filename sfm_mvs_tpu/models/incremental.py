@@ -39,6 +39,7 @@ class FrameStats(NamedTuple):
     num_pnp_inliers: jnp.ndarray  # () PnP inliers
     num_new_points: jnp.ndarray  # () newly triangulated points
     reproj_error: jnp.ndarray  # () reference-metric mean reprojection error
+    accepted: jnp.ndarray  # () bool — False when the frame was rejected
 
 
 class PipelineState(NamedTuple):
@@ -87,6 +88,7 @@ def init_from_bootstrap(
         num_pnp_inliers=tv.num_inliers,
         num_new_points=jnp.sum(tv.valid),
         reproj_error=tv.reproj_error,
+        accepted=jnp.asarray(True),
     )
     return PipelineState(map=state, prev_feats=feats1, prev_track=track), stats
 
@@ -172,14 +174,25 @@ def register_frame(
     slot = jnp.where(pnp_res.inliers | good_new, m.idx1, max_feat)
     track = track.at[slot].set(keep_tid, mode="drop")
 
+    new_pstate = PipelineState(map=state, prev_feats=new_feats, prev_track=track)
+
+    # Degenerate-frame guard: if PnP found too few inliers, the pose is
+    # unreliable — reject the whole update (map untouched, sliding window
+    # keeps the previous frame) rather than corrupting the reconstruction.
+    accepted = pnp_res.num_inliers >= rc.min_pnp_inliers
+    out_pstate = jax.tree_util.tree_map(
+        lambda new, old: jnp.where(accepted, new, old), new_pstate, pstate
+    )
+
     stats = FrameStats(
         num_matches=jnp.sum(mvalid),
         num_tracked=jnp.sum(tracked),
         num_pnp_inliers=pnp_res.num_inliers,
-        num_new_points=jnp.sum(good_new),
+        num_new_points=jnp.where(accepted, jnp.sum(good_new), 0),
         reproj_error=0.5 * (err_tracked + err_new),
+        accepted=accepted,
     )
-    return PipelineState(map=state, prev_feats=new_feats, prev_track=track), stats
+    return out_pstate, stats
 
 
 class IncrementalSfM:
@@ -306,4 +319,5 @@ class IncrementalSfM:
             "pnp_inliers": int(st.num_pnp_inliers),
             "new_points": int(st.num_new_points),
             "reproj_error": float(st.reproj_error),
+            "accepted": bool(st.accepted),
         }

@@ -49,6 +49,11 @@ class RansacConfig:
     essential_threshold_px: float = 1.0
     pnp_iters: int = 1024
     pnp_threshold_px: float = 4.0
+    # Degenerate-frame guard (the domain's failure detection, SURVEY.md §5;
+    # the germ exists in the reference at test.py:254-255 "Less features!").
+    # A frame whose PnP lands below this many inliers is REJECTED: the map
+    # is left untouched and the sliding window keeps the previous frame.
+    min_pnp_inliers: int = 12
     homography_iters: int = 1024
     homography_threshold_px: float = 4.0
     refit_rounds: int = 2  # inlier-weighted refits after hypothesis selection
