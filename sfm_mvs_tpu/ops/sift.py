@@ -247,15 +247,32 @@ def _orientation(grads: jnp.ndarray, layer, x, y, sigma_oct):
             + 4.0 * (jnp.roll(hist, 1, axis=1) + jnp.roll(hist, -1, axis=1))
             + (jnp.roll(hist, 2, axis=1) + jnp.roll(hist, -2, axis=1))
         ) / 16.0
+    def refine_peak(peak):
+        # Parabolic sub-bin interpolation around a histogram peak.
+        hp = jnp.take_along_axis(hist, peak[:, None], axis=1)[:, 0]
+        hl = jnp.take_along_axis(hist, ((peak - 1) % _ORI_BINS)[:, None], axis=1)[:, 0]
+        hr = jnp.take_along_axis(hist, ((peak + 1) % _ORI_BINS)[:, None], axis=1)[:, 0]
+        denom = hl - 2.0 * hp + hr
+        shift = jnp.where(jnp.abs(denom) < 1e-12, 0.0, 0.5 * (hl - hr) / denom)
+        ang = (peak.astype(jnp.float32) + shift + 0.5) * (2.0 * jnp.pi / _ORI_BINS)
+        return ang % (2.0 * jnp.pi), hp
+
     peak = jnp.argmax(hist, axis=1)
-    # Parabolic sub-bin interpolation around the peak.
-    hp = jnp.take_along_axis(hist, peak[:, None], axis=1)[:, 0]
-    hl = jnp.take_along_axis(hist, ((peak - 1) % _ORI_BINS)[:, None], axis=1)[:, 0]
-    hr = jnp.take_along_axis(hist, ((peak + 1) % _ORI_BINS)[:, None], axis=1)[:, 0]
-    denom = hl - 2.0 * hp + hr
-    shift = jnp.where(jnp.abs(denom) < 1e-12, 0.0, 0.5 * (hl - hr) / denom)
-    ang_out = (peak.astype(jnp.float32) + shift + 0.5) * (2.0 * jnp.pi / _ORI_BINS)
-    return ang_out % (2.0 * jnp.pi)
+    ang1, h_main = refine_peak(peak)
+
+    # Secondary orientation: the strongest *local maximum* other than the
+    # main peak; kept when >= 0.8x the main peak (OpenCV duplicates the
+    # keypoint for it — so do we, in detect_and_compute).
+    is_local_max = (hist >= jnp.roll(hist, 1, axis=1)) & (
+        hist > jnp.roll(hist, -1, axis=1)
+    )
+    bins = jax.lax.broadcasted_iota(jnp.int32, hist.shape, 1)
+    not_main = bins != peak[:, None]
+    cand = jnp.where(is_local_max & not_main, hist, -1.0)
+    peak2 = jnp.argmax(cand, axis=1)
+    ang2, h_sec = refine_peak(peak2)
+    has2 = (jnp.max(cand, axis=1) >= 0.8 * h_main) & (h_main > 0)
+    return ang1, ang2, has2
 
 
 def _descriptor(grads: jnp.ndarray, layer, x, y, sigma_oct, angle, cfg: FrontendConfig):
@@ -408,18 +425,30 @@ def detect_and_compute(image: jnp.ndarray, cfg: FrontendConfig) -> Features:
         )
         valid = valid & inside
 
-        angle = _orientation(grads, lay, fx, fy, sigma_oct)
-        desc = _descriptor(grads, lay, fx, fy, sigma_oct, angle, cfg)
+        ang1, ang2, has2 = _orientation(grads, lay, fx, fy, sigma_oct)
+        desc1 = _descriptor(grads, lay, fx, fy, sigma_oct, ang1, cfg)
+        desc2 = _descriptor(grads, lay, fx, fy, sigma_oct, ang2, cfg)
 
         scale_to_input = first_scale * (2.0**o)
+        xy = jnp.stack([fx, fy], axis=-1) * scale_to_input
+        sc = sigma_oct * scale_to_input
         per_octave.append(
             Features(
-                xy=jnp.stack([fx, fy], axis=-1) * scale_to_input,
-                scale=sigma_oct * scale_to_input,
-                angle=angle,
+                xy=xy, scale=sc, angle=ang1,
                 response=jnp.where(valid, top_resp, 0.0),
-                desc=desc,
-                valid=valid,
+                desc=desc1, valid=valid,
+            )
+        )
+        # Duplicate keypoints for strong secondary orientation peaks
+        # (>=0.8x main), like OpenCV — materially improves match density
+        # on rotationally ambiguous texture. Response infinitesimally
+        # down-weighted so primaries win global top-K ties.
+        valid2 = valid & has2
+        per_octave.append(
+            Features(
+                xy=xy, scale=sc, angle=ang2,
+                response=jnp.where(valid2, top_resp * 0.999999, 0.0),
+                desc=desc2, valid=valid2,
             )
         )
         cur = pyramid.subsample2(gauss[S])  # sigma0*2 image -> next octave
