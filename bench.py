@@ -98,20 +98,16 @@ def main():
         return jnp.repeat(img8[..., None], 3, axis=-1).astype(jnp.float32)
 
     # Three programs per frame (detect / register / BA). Measured on v5e:
-    # one fused mega-program compiles 3x slower (484s) AND runs 2.3x
-    # slower per frame (3.0s vs 1.3s) — XLA schedules the merged graph
-    # worse than the three separately-optimized programs.
-    @jax.jit
-    def register_ba(key, pstate, feats, img8):
-        pstate, st = register_frame(key, pstate, feats, gray_bgr(img8), cfg)
-        prob = ba.problem_from_map(pstate.map)
-        prob, ba_stats = ba.run_ba(prob, max_iterations=8, cg_iters=15)
-        pstate = pstate._replace(map=ba.write_back_to_map(pstate.map, prob))
-        return pstate, st, ba_stats
-
+    # fusing them into one mega-program compiles 3x slower (484s) AND runs
+    # 2.3x slower per frame (3.0s vs 1.3s) — XLA schedules the merged
+    # graph worse than the three separately-optimized programs.
     def frame_step(key, pstate, img8):
         feats = detect_u8(img8)
-        return register_ba(key, pstate, feats, img8)
+        pstate, st = register_frame(key, pstate, feats, gray_bgr(img8), cfg)
+        mstate, ba_stats = ba.bundle_adjust_map(
+            pstate.map, max_iterations=8, cg_iters=15
+        )
+        return pstate._replace(map=mstate), st, ba_stats
 
     key = jax.random.PRNGKey(0)
 
