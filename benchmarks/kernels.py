@@ -8,6 +8,11 @@ Times each hot kernel at bench shapes and prints a JSON line per kernel
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import json
 import sys
 import time

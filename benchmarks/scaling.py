@@ -13,6 +13,11 @@ sharding machinery; run unchanged on a real slice for true efficiency.
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import json
 import sys
 import time

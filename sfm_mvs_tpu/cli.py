@@ -49,6 +49,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint-every", type=int, default=0)
     p.add_argument("--resume", action="store_true", help="resume from last checkpoint")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--densify", action="store_true",
+        help="plane-sweep MVS depth + fusion -> dense.ply (the reference's "
+             "declared-but-unimplemented mode, sfm.py:298)",
+    )
+    p.add_argument("--mvs-depths", type=int, default=64)
+    p.add_argument("--mvs-stride", type=int, default=2)
     return p
 
 
@@ -131,6 +138,18 @@ def main(argv=None) -> int:
 
     n = io.map_to_ply(os.path.join(args.out, "sparse.ply"), state,
                       scale=cfg.ply_scale, outlier_offset=cfg.ply_outlier_offset)
+    if args.densify:
+        from sfm_mvs_tpu.models import mvs
+
+        dpts, dcols = mvs.densify_map(
+            grays, state, num_depths=args.mvs_depths, stride=args.mvs_stride,
+            images_bgr=bgrs,
+        )
+        nd = io.to_ply(
+            os.path.join(args.out, "dense.ply"), dpts, dcols,
+            scale=cfg.ply_scale, outlier_offset=cfg.ply_outlier_offset,
+        )
+        print(f"dense cloud: {nd} points -> dense.ply")
     io.map_pose_csv(os.path.join(args.out, "pose.csv"), state)
     poses = np.asarray(state.poses)[np.asarray(state.cam_valid)]
     viz.save_camera_frusta_ply(os.path.join(args.out, "cameras.ply"), poses)
