@@ -11,7 +11,8 @@ import jax.numpy as jnp
 
 
 def homography_dlt(
-    pts1: jnp.ndarray, pts2: jnp.ndarray, weights: jnp.ndarray | None = None
+    pts1: jnp.ndarray, pts2: jnp.ndarray, weights: jnp.ndarray | None = None,
+    method: str = "svd",
 ) -> jnp.ndarray:
     """DLT homography H s.t. pts2 ~ H pts1 from n>=4 correspondences.
 
@@ -47,8 +48,12 @@ def homography_dlt(
         [x1, y1, one, zero, zero, zero, -x2 * x1, -x2 * y1, -x2], axis=-1
     )
     A = jnp.concatenate([row1 * w[:, None], row2 * w[:, None]], axis=0)
-    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
-    Hn = Vt[-1].reshape(3, 3)
+    if method == "eigh":
+        _, V = jnp.linalg.eigh(A.T @ A)
+        Hn = V[:, 0].reshape(3, 3)
+    else:
+        _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
+        Hn = Vt[-1].reshape(3, 3)
     H = jnp.linalg.inv(T2) @ Hn @ T1
     return H / jnp.maximum(jnp.abs(H[2, 2]), 1e-12) * jnp.sign(H[2, 2])
 

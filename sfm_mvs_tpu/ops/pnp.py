@@ -18,7 +18,8 @@ from sfm_mvs_tpu.ops import lie, projection
 
 
 def pnp_dlt(
-    X: jnp.ndarray, uv_norm: jnp.ndarray, weights: jnp.ndarray | None = None
+    X: jnp.ndarray, uv_norm: jnp.ndarray, weights: jnp.ndarray | None = None,
+    method: str = "svd",
 ):
     """DLT pose from n>=6 3D-2D correspondences (normalized image coords).
 
@@ -47,8 +48,14 @@ def pnp_dlt(
         [zero, zero, zero, zero, x, y, z, one, -v * x, -v * y, -v * z, -v], axis=-1
     )
     A = jnp.concatenate([row_u * w[:, None], row_v * w[:, None]], axis=0)
-    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
-    P = Vt[-1].reshape(3, 4)
+    if method == "eigh":
+        # Fast null vector for vmapped RANSAC hypotheses (see epipolar.py
+        # for the precision tradeoff; the GN polish restores accuracy).
+        _, V = jnp.linalg.eigh(A.T @ A)
+        P = V[:, 0].reshape(3, 4)
+    else:
+        _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
+        P = Vt[-1].reshape(3, 4)
 
     # Undo the 3D conditioning: X_n = s*(X - mean)  =>  P_orig = P @ S.
     S = jnp.concatenate(
@@ -75,7 +82,8 @@ def pnp_dlt(
 
 
 def pnp_planar(
-    X: jnp.ndarray, uv_norm: jnp.ndarray, weights: jnp.ndarray | None = None
+    X: jnp.ndarray, uv_norm: jnp.ndarray, weights: jnp.ndarray | None = None,
+    method: str = "svd",
 ) -> jnp.ndarray:
     """Pose from a world-plane homography (planar-degenerate-safe PnP).
 
@@ -100,7 +108,7 @@ def pnp_planar(
     pv = Xc @ e2
     from sfm_mvs_tpu.ops.homography import homography_dlt
 
-    H = homography_dlt(jnp.stack([pu, pv], axis=-1), uv_norm, w)
+    H = homography_dlt(jnp.stack([pu, pv], axis=-1), uv_norm, w, method=method)
     # Choose the sign that puts the plane in front of the camera.
     H = H * jnp.where(H[2, 2] > 0, 1.0, -1.0)
     h1, h2, h3 = H[:, 0], H[:, 1], H[:, 2]

@@ -74,7 +74,10 @@ def ransac_essential(
     idx = _sample_indices(k1, iters, 8, count, N)
 
     def solve(sample_idx):
-        return epipolar.essential_eight_point(c0[sample_idx], c1[sample_idx])
+        # eigh hypotheses: threshold-level precision, much faster vmapped.
+        return epipolar.essential_eight_point(
+            c0[sample_idx], c1[sample_idx], method="eigh"
+        )
 
     Es = jax.vmap(solve)(idx)  # (iters, 3, 3)
 
@@ -125,10 +128,10 @@ def ransac_pnp(
     # degenerate for coplanar samples — see pnp.pnp_planar). Inlier
     # counting picks the right family automatically.
     def solve_dlt(sample_idx):
-        return pnp.pnp_dlt(cX[sample_idx], cuvn[sample_idx])
+        return pnp.pnp_dlt(cX[sample_idx], cuvn[sample_idx], method="eigh")
 
     def solve_planar(sample_idx):
-        return pnp.pnp_planar(cX[sample_idx], cuvn[sample_idx])
+        return pnp.pnp_planar(cX[sample_idx], cuvn[sample_idx], method="eigh")
 
     Rts = jnp.concatenate(
         [jax.vmap(solve_dlt)(idx), jax.vmap(solve_planar)(idx)], axis=0
@@ -170,7 +173,7 @@ def ransac_homography(
     idx = _sample_indices(k1, iters, 4, count, N)
 
     def solve(sample_idx):
-        return homography.homography_dlt(c1[sample_idx], c2[sample_idx])
+        return homography.homography_dlt(c1[sample_idx], c2[sample_idx], method="eigh")
 
     Hs = jax.vmap(solve)(idx)
 

@@ -40,24 +40,53 @@ def triangulate_points(
     Returns homogeneous points (N, 4), scaled so the last component is 1
     (matching the reference's `cloud / cloud[3]`, sfm.py:54).
 
-    Each row of A is normalized before forming A^T A for float32
-    conditioning; the smallest-eigenvector solve is exact for a 4x4 system.
+    Solved in INHOMOGENEOUS form: with X = (x, y, z, 1), the 4x2-row DLT
+    system A X = 0 becomes the 3-unknown least squares A[:, :3] x = -A[:,
+    3], closed via 3x3 normal equations and an adjugate inverse — pure
+    elementwise math, no per-point eigendecompositions (a vmapped 4x4
+    eigh measured 29ms for 8K points on v5e; this form is ~1ms). Valid
+    whenever the point is finite (w != 0), which the pipeline's depth
+    filters assume anyway. Rows are normalized for f32 conditioning.
     """
 
     def solve_one(x1, x2):
         A = _dlt_system(P1, P2, x1, x2)
         # Row-normalize for conditioning (projection matrices contain pixel-
-        # scale entries; unnormalized A^T A squares that range).
+        # scale entries; unnormalized normal equations square that range).
         norm = jnp.linalg.norm(A, axis=1, keepdims=True)
         A = A / jnp.maximum(norm, 1e-12)
-        _, V = jnp.linalg.eigh(A.T @ A)
-        X = V[:, 0]  # eigenvector of the smallest eigenvalue
-        return X
+        M = A[:, :3]
+        b = -A[:, 3]
+        AtA = M.T @ M  # (3, 3)
+        Atb = M.T @ b
+        # Adjugate 3x3 solve.
+        a, b_, c = AtA[0]
+        d, e, f = AtA[1]
+        g, h, i = AtA[2]
+        c00 = e * i - f * h
+        c01 = c * h - b_ * i
+        c02 = b_ * f - c * e
+        c10 = f * g - d * i
+        c11 = a * i - c * g
+        c12 = c * d - a * f
+        c20 = d * h - e * g
+        c21 = b_ * g - a * h
+        c22 = a * e - b_ * d
+        det = a * c00 + b_ * c10 + c * c20
+        inv_det = jnp.where(jnp.abs(det) < 1e-18, 0.0, 1.0 / det)
+        x = (
+            jnp.stack(
+                [
+                    c00 * Atb[0] + c01 * Atb[1] + c02 * Atb[2],
+                    c10 * Atb[0] + c11 * Atb[1] + c12 * Atb[2],
+                    c20 * Atb[0] + c21 * Atb[1] + c22 * Atb[2],
+                ]
+            )
+            * inv_det
+        )
+        return jnp.concatenate([x, jnp.ones((1,), x.dtype)])
 
-    X = jax.vmap(solve_one)(pts1, pts2)
-    w = X[..., 3:4]
-    w_safe = jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
-    return X / w_safe
+    return jax.vmap(solve_one)(pts1, pts2)
 
 
 def triangulate_euclidean(
