@@ -78,7 +78,9 @@ def main():
             contrast_threshold=0.012, lowe_ratio=0.75,
         ),
         ransac=RansacConfig(essential_iters=2048, pnp_iters=1024),
-        map=MapConfig(max_cameras=64, max_points=65536),
+        # Provisioned ~7x above the scene's peak point count; BA cost is
+        # capacity-proportional (dense grid), so right-sizing matters.
+        map=MapConfig(max_cameras=64, max_points=16384),
     )
     Kj = jnp.asarray(cfg.intrinsic_matrix())
 
