@@ -158,6 +158,42 @@ def register_frame(
         & (e_prev < rc.pnp_threshold_px)
         & (e_new < rc.pnp_threshold_px)
     )
+
+    # 5b. Re-observation merging: a "new" candidate whose position matches
+    # an existing recent map point (same pixel in this camera, consistent
+    # depth) is a track re-observation, not a new point. The reference's
+    # consecutive-frame association cannot represent this; with the dense
+    # obs grid it is one windowed pixel-distance argmin.
+    merge_tid = jnp.full(good_new.shape, -1, jnp.int32)
+    if rc.merge_reobservations:
+        Wm = min(rc.merge_window, state.points.shape[0])
+        start = jnp.clip(state.num_points - Wm, 0, state.points.shape[0] - Wm)
+        win_pts = jax.lax.dynamic_slice(state.points, (start, 0), (Wm, 3))
+        win_valid = jax.lax.dynamic_slice(state.point_valid, (start,), (Wm,))
+        win_uv, win_depth = projection.project_depth(win_pts, pose_new, K)
+        win_ok = win_valid & (win_depth > 0)
+        # pairwise squared pixel distances: (M, Wm)
+        d2_px = (
+            jnp.sum(uv_new * uv_new, axis=1, keepdims=True)
+            + jnp.sum(win_uv * win_uv, axis=1)[None, :]
+            - 2.0 * uv_new @ win_uv.T
+        )
+        d2_px = jnp.where(win_ok[None, :], d2_px, jnp.inf)
+        nearest = jnp.argmin(d2_px, axis=1)
+        dmin = jnp.min(d2_px, axis=1)
+        cand_depth = d1  # depth of the candidate in the new camera
+        near_depth = win_depth[nearest]
+        depth_ok = (
+            jnp.abs(near_depth - cand_depth)
+            < rc.merge_depth_rel * jnp.maximum(near_depth, 1e-6)
+        )
+        merged = good_new & (dmin < rc.merge_px**2) & depth_ok
+        merge_tid = jnp.where(merged, (start + nearest).astype(jnp.int32), -1)
+        good_new = good_new & ~merged
+        # record the re-observation for BA
+        state = map_store.append_observations(
+            state, cam_new, merge_tid, uv_new, merged
+        )
     colors = _sample_colors(image_bgr, uv_new)
     state, new_pids = map_store.append_points(state, X_new, colors, good_new)
     state = map_store.append_observations(state, prev_cam, new_pids, uv_prev, good_new)
@@ -171,7 +207,10 @@ def register_frame(
     track = jnp.full((max_feat,), -1, jnp.int32)
     keep_tid = jnp.where(pnp_res.inliers, tids, -1)
     keep_tid = jnp.where(good_new, new_pids.astype(jnp.int32), keep_tid)
-    slot = jnp.where(pnp_res.inliers | good_new, m.idx1, max_feat)
+    keep_tid = jnp.where(merge_tid >= 0, merge_tid, keep_tid)
+    slot = jnp.where(
+        pnp_res.inliers | good_new | (merge_tid >= 0), m.idx1, max_feat
+    )
     track = track.at[slot].set(keep_tid, mode="drop")
 
     new_pstate = PipelineState(map=state, prev_feats=new_feats, prev_track=track)

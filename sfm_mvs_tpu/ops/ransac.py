@@ -74,10 +74,11 @@ def ransac_essential(
     idx = _sample_indices(k1, iters, 8, count, N)
 
     def solve(sample_idx):
-        # eigh hypotheses: threshold-level precision, much faster vmapped.
-        return epipolar.essential_eight_point(
-            c0[sample_idx], c1[sample_idx], method="eigh"
-        )
+        # SVD hypotheses: the eigh form's ~1.3px null-vector noise exceeds
+        # the 1px inlier threshold and collapses small-baseline pairs
+        # (measured: 134 matches -> 2 inliers). E is the one solver whose
+        # threshold sits below eigh precision; PnP/H hypotheses use eigh.
+        return epipolar.essential_eight_point(c0[sample_idx], c1[sample_idx])
 
     Es = jax.vmap(solve)(idx)  # (iters, 3, 3)
 

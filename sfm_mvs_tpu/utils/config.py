@@ -46,7 +46,11 @@ class RansacConfig:
     """Vectorized RANSAC (replaces OpenCV RANSAC, sfm.py:307 / sfm.py:67)."""
 
     essential_iters: int = 2048  # hypothesis batch (vmapped, one shot)
-    essential_threshold_px: float = 1.0
+    # 2px accommodates the detector's subpixel noise at small baselines
+    # (measured: a 1px threshold collapses 134 matches to 2 inliers on an
+    # 8-degree pair; 2px keeps 127). The weighted refits + pose recovery +
+    # downstream PnP thresholds still enforce geometric quality.
+    essential_threshold_px: float = 2.0
     pnp_iters: int = 1024
     pnp_threshold_px: float = 4.0
     # Degenerate-frame guard (the domain's failure detection, SURVEY.md §5;
@@ -54,6 +58,16 @@ class RansacConfig:
     # A frame whose PnP lands below this many inliers is REJECTED: the map
     # is left untouched and the sliding window keeps the previous frame.
     min_pnp_inliers: int = 12
+    # Re-observation merging: before creating a new 3D point, check whether
+    # a recently-created map point projects to (almost) the same pixel in
+    # the new camera with consistent depth — if so, extend that point's
+    # track instead of duplicating it. (The reference's frame-to-frame
+    # association can only continue consecutive tracks, so every
+    # re-detection after a gap duplicates the point.)
+    merge_reobservations: bool = True
+    merge_px: float = 2.0  # pixel radius for re-observation matching
+    merge_depth_rel: float = 0.1  # relative depth agreement
+    merge_window: int = 8192  # how many recent map points to test against
     homography_iters: int = 1024
     homography_threshold_px: float = 4.0
     refit_rounds: int = 2  # inlier-weighted refits after hypothesis selection
