@@ -294,6 +294,7 @@ class IncrementalSfM:
         seed: int = 0,
         resume_state: Optional[PipelineState] = None,
         resume_frame: int = 0,
+        batch_detect: int = 0,
     ) -> MapState:
         """Reconstruct from an ordered image sequence.
 
@@ -302,6 +303,9 @@ class IncrementalSfM:
         point-cloud colors; grayscale is replicated when absent.
         resume_state/resume_frame: continue a checkpointed run — frames
         up to and including `resume_frame` are skipped.
+        batch_detect: if > 0, pre-detect features in vmapped batches of
+        this size (shards across the data axis on a multi-chip mesh)
+        before the sequential registration loop.
         """
         import time as _time
 
@@ -311,6 +315,29 @@ class IncrementalSfM:
             images_bgr = [
                 np.repeat((g * 255.0)[..., None], 3, axis=-1) for g in images_gray
             ]
+
+        pre_feats: Optional[list] = None
+        if batch_detect > 0:
+            from sfm_mvs_tpu.parallel import frontend as par_frontend
+
+            pre_feats = []
+            for s in range(0, len(images_gray), batch_detect):
+                chunk = images_gray[s : s + batch_detect]
+                pad = batch_detect - len(chunk)
+                batch = np.stack(list(chunk) + [chunk[-1]] * pad)
+                fb = par_frontend.detect_batch(jnp.asarray(batch), cfg.frontend)
+                for j in range(len(chunk)):
+                    pre_feats.append(
+                        jax.tree_util.tree_map(lambda a: a[j], fb)
+                    )
+
+        def get_feats(i):
+            if pre_feats is not None:
+                return pre_feats[i]
+            return sift.detect_and_compute(
+                jnp.asarray(images_gray[i]), cfg.frontend
+            )
+
         key = jax.random.PRNGKey(seed)
         if resume_state is not None:
             pstate = resume_state
@@ -318,10 +345,7 @@ class IncrementalSfM:
             for _ in range(start):
                 key, _ = jax.random.split(key)
         else:
-            feats = [
-                sift.detect_and_compute(jnp.asarray(g), cfg.frontend)
-                for g in images_gray[:2]
-            ]
+            feats = [get_feats(0), get_feats(1)]
             key, k0 = jax.random.split(key)
             pstate, st = init_from_bootstrap(
                 k0, feats[0], feats[1], jnp.asarray(images_bgr[1]), K, cfg
@@ -330,7 +354,7 @@ class IncrementalSfM:
             start = 2
         for i in range(start, len(images_gray)):
             t0 = _time.time()
-            f = sift.detect_and_compute(jnp.asarray(images_gray[i]), cfg.frontend)
+            f = get_feats(i)
             key, ki = jax.random.split(key)
             pstate, st = register_frame(
                 ki, pstate, f, jnp.asarray(images_bgr[i]), cfg
