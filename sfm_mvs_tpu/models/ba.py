@@ -77,11 +77,23 @@ class BAStats(NamedTuple):
     accepted: jnp.ndarray  # () accepted steps
 
 
-def problem_from_map(state: MapState, frozen_first: int = 1) -> BAProblem:
-    """Build a BAProblem from the map (jit-safe, pure slicing/conversion)."""
+def problem_from_map(
+    state: MapState, frozen_first: int = 1, local_window: int = 0
+) -> BAProblem:
+    """Build a BAProblem from the map (jit-safe, pure slicing/conversion).
+
+    frozen_first: always freeze the first N cameras (gauge).
+    local_window: if > 0, additionally freeze every camera except the most
+    recent `local_window` — a sliding local BA whose cost stays constant
+    as the sequence grows (points they observe still adjust; their other
+    anchoring cameras being frozen keeps the old map consistent).
+    """
     rvec, tvec = lie.matrix_to_rt(state.poses)
     cam_params = jnp.concatenate([rvec, tvec], axis=-1)
     cam_idx = jnp.arange(state.poses.shape[0])
+    frozen = cam_idx < frozen_first
+    if local_window > 0:
+        frozen = frozen | (cam_idx < state.num_cams - local_window)
     return BAProblem(
         cam_params=cam_params,
         points=state.points,
@@ -90,7 +102,7 @@ def problem_from_map(state: MapState, frozen_first: int = 1) -> BAProblem:
         obs_uv=state.obs_uv,
         obs_mask=state.obs_mask,
         K=state.K,
-        frozen=cam_idx < frozen_first,
+        frozen=frozen,
     )
 
 
@@ -351,8 +363,11 @@ def bundle_adjust_map(
     max_iterations: int = 20,
     cg_iters: int = 20,
     frozen_first: int = 1,
+    local_window: int = 0,
 ) -> tuple[MapState, BAStats]:
-    """Convenience: map -> BA -> map."""
-    prob = problem_from_map(state, frozen_first=frozen_first)
+    """Convenience: map -> BA -> map. local_window > 0 = sliding local BA."""
+    prob = problem_from_map(
+        state, frozen_first=frozen_first, local_window=local_window
+    )
     prob, stats = run_ba(prob, max_iterations=max_iterations, cg_iters=cg_iters)
     return write_back_to_map(state, prob), stats

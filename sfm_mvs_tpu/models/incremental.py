@@ -265,7 +265,9 @@ class IncrementalSfM:
         from sfm_mvs_tpu.models import ba as ba_mod
 
         mstate, ba_stats = ba_mod.bundle_adjust_map(
-            pstate.map, max_iterations=cfg.ba.max_iterations
+            pstate.map,
+            max_iterations=cfg.ba.max_iterations,
+            local_window=cfg.ba.local_window,
         )
         if self.metrics is not None:
             self.metrics.log(

@@ -92,3 +92,19 @@ def test_cost_metric_matches_reprojection(rng):
     prob = ba.problem_from_map(state)
     cost = float(ba._cost(prob))
     assert cost < 1e-6  # exact geometry -> zero residual
+
+
+def test_local_window_freezes_old_cameras(rng):
+    state, scene = _build_problem(rng, obs_noise=0.0)
+    poses_before = np.asarray(state.poses).copy()
+    new_state, stats = ba.bundle_adjust_map(
+        state, max_iterations=10, cg_iters=20, local_window=2
+    )
+    # cameras 0..2 frozen (gauge + outside the 2-camera window of 5)
+    for c in range(3):
+        np.testing.assert_allclose(
+            np.asarray(new_state.poses[c]), poses_before[c], atol=1e-6
+        )
+    # the last two cameras moved (they were perturbed) and cost dropped
+    assert np.abs(np.asarray(new_state.poses[4]) - poses_before[4]).max() > 1e-5
+    assert float(stats.final_cost) < float(stats.initial_cost)
