@@ -39,7 +39,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lowe-ratio", type=float, default=0.70)
     p.add_argument("--contrast-threshold", type=float, default=0.012)
     p.add_argument("--no-upsample", action="store_true", help="skip 2x input doubling")
-    p.add_argument("--essential-threshold", type=float, default=1.0)
+    p.add_argument("--essential-threshold", type=float, default=2.0)
     p.add_argument("--pnp-threshold", type=float, default=4.0)
     p.add_argument("--ba", action="store_true", help="enable bundle adjustment")
     p.add_argument("--ba-cadence", type=int, default=1, help="BA every K frames")
@@ -49,6 +49,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint-every", type=int, default=0)
     p.add_argument("--resume", action="store_true", help="resume from last checkpoint")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--pipeline", choices=["incremental", "global"], default="incremental",
+        help="incremental = sfm.py-style PnP registration; global = "
+             "test.py-style homography-chained tracks + global BA",
+    )
+    p.add_argument("--ba-local-window", type=int, default=0,
+                   help="local BA: optimize only the last K cameras")
+    p.add_argument("--batch-detect", type=int, default=0,
+                   help="pre-detect features in vmapped batches of this size")
+    p.add_argument("--pallas-matcher", action="store_true",
+                   help="use the fused Pallas 2-NN matching kernel")
+    p.add_argument("--no-merge", action="store_true",
+                   help="disable re-observation track merging")
     p.add_argument(
         "--densify", action="store_true",
         help="plane-sweep MVS depth + fusion -> dense.ply (the reference's "
@@ -72,14 +85,18 @@ def config_from_args(args) -> "SfmConfig":
             lowe_ratio=args.lowe_ratio,
             contrast_threshold=args.contrast_threshold,
             upsample_input=not args.no_upsample,
+            use_pallas_matcher=args.pallas_matcher,
         ),
         ransac=RansacConfig(
             essential_threshold_px=args.essential_threshold,
             pnp_threshold_px=args.pnp_threshold,
             seed=args.seed,
+            merge_reobservations=not args.no_merge,
         ),
         ba=BaConfig(
-            enabled=args.ba, cadence=args.ba_cadence, max_iterations=args.ba_iterations
+            enabled=args.ba, cadence=args.ba_cadence,
+            max_iterations=args.ba_iterations,
+            local_window=args.ba_local_window,
         ),
         map=MapConfig(max_cameras=args.max_cameras, max_points=args.max_points),
     )
@@ -131,10 +148,22 @@ def main(argv=None) -> int:
             resume_state, resume_frame = ckpt.load_pipeline(latest)
             print(f"resuming from {latest} (frame {resume_frame})")
 
-    state = sfm.run(
-        grays, bgrs, seed=args.seed,
-        resume_state=resume_state, resume_frame=resume_frame,
-    )
+    if args.pipeline == "global":
+        from sfm_mvs_tpu.models.tracks import GlobalSfM
+
+        gsfm = GlobalSfM(cfg)
+        state = gsfm.run(grays, seed=args.seed, run_ba=True)
+        state = gsfm.final_sweep(grays)
+        sfm.stats = [
+            {**st, "reproj_error": st.get("reproj_error", 0.0)}
+            for st in gsfm.stats if "frame" in st
+        ]
+    else:
+        state = sfm.run(
+            grays, bgrs, seed=args.seed,
+            resume_state=resume_state, resume_frame=resume_frame,
+            batch_detect=args.batch_detect,
+        )
 
     n = io.map_to_ply(os.path.join(args.out, "sparse.ply"), state,
                       scale=cfg.ply_scale, outlier_offset=cfg.ply_outlier_offset)
@@ -153,7 +182,7 @@ def main(argv=None) -> int:
     io.map_pose_csv(os.path.join(args.out, "pose.csv"), state)
     poses = np.asarray(state.poses)[np.asarray(state.cam_valid)]
     viz.save_camera_frusta_ply(os.path.join(args.out, "cameras.ply"), poses)
-    errs = [s["reproj_error"] for s in sfm.stats]
+    errs = [s.get("reproj_error", 0.0) for s in sfm.stats]
     viz.save_error_plot(os.path.join(args.out, "reproj_error.png"), errs)
     print(f"done: {len(poses)} cameras, {n} cloud points -> {args.out}/")
     print(logger.summary())
