@@ -120,6 +120,26 @@ def save_pose_csv(path: str, K: np.ndarray, poses: Sequence[np.ndarray]) -> None
     np.savetxt(path, arr, delimiter="\n")
 
 
+def load_pose_csv(path: str):
+    """Parse a pose.csv written by this framework or by the reference.
+
+    Layout (sfm.py:276,423): flat [K(9), P_0(12), P_1(12), ...], one value
+    per line. Returns (K (3,3), P (N,3,4) projection matrices).
+    """
+    vals = np.loadtxt(path)
+    K = vals[:9].reshape(3, 3)
+    rest = vals[9:]
+    n = len(rest) // 12
+    P = rest[: n * 12].reshape(n, 3, 4)
+    return K, P
+
+
+def poses_from_projections(K: np.ndarray, P: np.ndarray) -> np.ndarray:
+    """Recover [R|t] extrinsics from P = K [R|t] (for trajectory metrics)."""
+    Kinv = np.linalg.inv(K)
+    return np.einsum("ij,njk->nik", Kinv, P)
+
+
 def map_pose_csv(path: str, state: MapState) -> None:
     valid = np.asarray(state.cam_valid)
     poses = [p for p, v in zip(np.asarray(state.poses), valid) if v]
