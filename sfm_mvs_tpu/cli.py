@@ -62,6 +62,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="use the fused Pallas 2-NN matching kernel")
     p.add_argument("--no-merge", action="store_true",
                    help="disable re-observation track merging")
+    p.add_argument("--finalize", action="store_true",
+                   help="final polish: cull outlier observations + global BA")
     p.add_argument(
         "--densify", action="store_true",
         help="plane-sweep MVS depth + fusion -> dense.ply (the reference's "
@@ -165,6 +167,11 @@ def main(argv=None) -> int:
             batch_detect=args.batch_detect,
         )
 
+    if args.finalize:
+        from sfm_mvs_tpu.models.refine import finalize_map
+
+        state, info = finalize_map(state, max_iterations=args.ba_iterations)
+        print(f"finalize: {info}")
     n = io.map_to_ply(os.path.join(args.out, "sparse.ply"), state,
                       scale=cfg.ply_scale, outlier_offset=cfg.ply_outlier_offset)
     if args.densify:

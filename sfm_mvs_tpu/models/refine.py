@@ -1,0 +1,55 @@
+"""Map refinement: outlier-point culling + final global bundle adjustment.
+
+The reference's only cleaning is the export-time centroid-distance cut
+(sfm.py:176-181). Proper SfM practice (and what keeps long sequences
+tight) is geometric: drop observations whose reprojection error exceeds a
+threshold, drop points left with fewer than two supporting observations,
+then run a final global BA. All grid-shaped masked math — one jitted call.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from sfm_mvs_tpu.models import ba as ba_mod
+from sfm_mvs_tpu.models.map_store import MapState
+
+
+@partial(jax.jit, static_argnames=())
+def cull_map(state: MapState, max_error_px: float = 4.0, min_track: int = 2) -> MapState:
+    """Invalidate bad observations and under-supported points.
+
+    - observation (p, c) is dropped when its reprojection error exceeds
+      `max_error_px`;
+    - point p is dropped when fewer than `min_track` observations remain.
+    """
+    prob = ba_mod.problem_from_map(state)
+    r = ba_mod._res_grid(prob.cam_params, prob.points, prob.obs_uv, prob.K)
+    err = jnp.linalg.norm(r, axis=-1)  # (P, C)
+    w = ba_mod._weights(prob) > 0
+    obs_ok = w & (err < max_error_px)
+    track_len = jnp.sum(obs_ok.astype(jnp.int32), axis=1)
+    point_ok = state.point_valid & (track_len >= min_track)
+    return state._replace(
+        obs_mask=obs_ok & point_ok[:, None],
+        point_valid=point_ok,
+    )
+
+
+def finalize_map(
+    state: MapState,
+    max_iterations: int = 20,
+    cull_px: float = 4.0,
+    rounds: int = 2,
+) -> tuple[MapState, dict]:
+    """Cull -> global BA, repeated `rounds` times (the final polish)."""
+    info = {}
+    for r in range(rounds):
+        state = cull_map(state, max_error_px=cull_px)
+        state, stats = ba_mod.bundle_adjust_map(state, max_iterations=max_iterations)
+        info[f"round{r}_cost"] = float(stats.final_cost)
+    info["points"] = int(jnp.sum(state.point_valid))
+    return state, info

@@ -96,3 +96,24 @@ def test_ply_and_pose_export(tmp_path, reconstruction):
     io.map_pose_csv(str(tmp_path / "pose.csv"), state)
     vals = np.loadtxt(tmp_path / "pose.csv")
     assert len(vals) == 9 + 5 * 12  # K + five 3x4 projection matrices
+
+
+def test_finalize_improves_map(reconstruction):
+    """Cull + final global BA drops cost and keeps the trajectory."""
+    import jax.numpy as jnp
+
+    from sfm_mvs_tpu.models import ba as ba_mod
+    from sfm_mvs_tpu.models.refine import finalize_map
+
+    sfm, state, Rt_gt = reconstruction
+    cost_before = float(ba_mod._cost(ba_mod.problem_from_map(state)))
+    new_state, info = finalize_map(state, max_iterations=10, cull_px=4.0)
+    cost_after = float(ba_mod._cost(ba_mod.problem_from_map(new_state)))
+    assert cost_after < cost_before
+    assert info["points"] > 50
+    # every surviving point still has >= 2 observations
+    tl = np.asarray(new_state.obs_mask).sum(axis=1)
+    pv = np.asarray(new_state.point_valid)
+    assert (tl[pv] >= 2).all()
+    poses = np.asarray(new_state.poses)[np.asarray(new_state.cam_valid)]
+    assert evaluate.ate_rmse(poses, Rt_gt) < 0.05
