@@ -16,7 +16,6 @@ with --checkpoint-every.
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import os
 import sys
 
@@ -108,10 +107,7 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
 
-    import jax.numpy as jnp
-
     from sfm_mvs_tpu.models.incremental import IncrementalSfM
-    from sfm_mvs_tpu.ops.pyramid import img_downscale
     from sfm_mvs_tpu.utils import checkpoint as ckpt
     from sfm_mvs_tpu.utils import io, metrics, viz
 

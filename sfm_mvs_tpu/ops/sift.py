@@ -22,7 +22,6 @@ across synthetic warped views rather than bit-exact keypoint equality.
 
 from __future__ import annotations
 
-import math
 from functools import partial
 from typing import NamedTuple
 

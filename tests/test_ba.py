@@ -1,7 +1,6 @@
 """Sparse-Schur LM bundle adjustment: convergence, gauge, masking."""
 
 import numpy as np
-import pytest
 
 import jax.numpy as jnp
 

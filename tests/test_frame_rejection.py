@@ -1,7 +1,5 @@
 """Degenerate-frame guard: bad frames must not corrupt the map."""
 
-import dataclasses
-
 import numpy as np
 
 import jax

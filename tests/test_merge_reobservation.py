@@ -1,7 +1,5 @@
 """Re-observation merging: revisited points extend tracks, not duplicate."""
 
-import dataclasses
-
 import numpy as np
 
 from sfm_mvs_tpu.models import map_store

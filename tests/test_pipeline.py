@@ -1,7 +1,5 @@
 """End-to-end incremental SfM on a rendered sequence vs ground truth."""
 
-import dataclasses
-
 import numpy as np
 import pytest
 
@@ -100,8 +98,6 @@ def test_ply_and_pose_export(tmp_path, reconstruction):
 
 def test_finalize_improves_map(reconstruction):
     """Cull + final global BA drops cost and keeps the trajectory."""
-    import jax.numpy as jnp
-
     from sfm_mvs_tpu.models import ba as ba_mod
     from sfm_mvs_tpu.models.refine import finalize_map
 

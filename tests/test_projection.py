@@ -5,7 +5,7 @@ import pytest
 
 import jax.numpy as jnp
 
-from sfm_mvs_tpu.ops import lie, projection
+from sfm_mvs_tpu.ops import projection
 from sfm_mvs_tpu.utils.synthetic import make_scene
 
 cv2 = pytest.importorskip("cv2")

@@ -1,14 +1,12 @@
 """Track-based global SfM (test.py analog) + exhaustive view graph (isfm)."""
 
 import numpy as np
-import pytest
 
 import jax.numpy as jnp
 
 from sfm_mvs_tpu.models import exhaustive
 from sfm_mvs_tpu.models.tracks import GlobalSfM, chain_tracks
 from sfm_mvs_tpu.ops import homography
-from sfm_mvs_tpu.utils import evaluate
 from sfm_mvs_tpu.utils.config import FrontendConfig, MapConfig, SfmConfig
 from sfm_mvs_tpu.utils.synthetic import render_plane_sequence, render_staircase_sequence
 
