@@ -202,6 +202,60 @@ def backproject_depth(
     return Xw.reshape(-1, 3), c.reshape(-1, 3), v.reshape(-1)
 
 
+@jax.jit
+def geometric_consistency(
+    dm_ref: DepthMap,
+    pose_ref: jnp.ndarray,
+    dm_nbrs_depth: jnp.ndarray,
+    nbr_poses: jnp.ndarray,
+    K: jnp.ndarray,
+    rel_tol: float = 0.03,
+    min_consistent: int = 1,
+) -> DepthMap:
+    """Cross-view depth-consistency filter.
+
+    Back-projects each reference pixel with its estimated depth, projects
+    the 3D point into every neighbor, samples the neighbor's depth map
+    there, and keeps the pixel only if >= `min_consistent` neighbors agree
+    within `rel_tol` relative depth — the standard MVS fusion check that
+    removes photometric-only leaks (textureless/occluded regions).
+    """
+    H, W = dm_ref.depth.shape
+    ys, xs = jnp.meshgrid(
+        jnp.arange(H, dtype=K.dtype), jnp.arange(W, dtype=K.dtype), indexing="ij"
+    )
+    Kinv = jnp.linalg.inv(K)
+    pix = jnp.stack([xs, ys, jnp.ones_like(xs)], axis=-1)
+    rays = pix @ Kinv.T
+    Xc = rays * dm_ref.depth[..., None]
+    R = pose_ref[:, :3]
+    t = pose_ref[:, 3]
+    Xw = (Xc - t) @ R  # world points, (H, W, 3)
+
+    def check_one(nbr_depth, nbr_pose):
+        Rn = nbr_pose[:, :3]
+        tn = nbr_pose[:, 3]
+        Xn = Xw @ Rn.T + tn  # neighbor camera frame
+        z = Xn[..., 2]
+        uv = (Xn @ K.T)
+        u = uv[..., 0] / jnp.where(jnp.abs(uv[..., 2]) < 1e-9, 1e-9, uv[..., 2])
+        v = uv[..., 1] / jnp.where(jnp.abs(uv[..., 2]) < 1e-9, 1e-9, uv[..., 2])
+        sampled, inside = _bilinear_sample(nbr_depth, u.reshape(-1), v.reshape(-1))
+        sampled = sampled.reshape(H, W)
+        inside = inside.reshape(H, W)
+        agree = (
+            inside
+            & (z > 0)
+            & (jnp.abs(sampled - z) < rel_tol * jnp.maximum(z, 1e-6))
+        )
+        return agree
+
+    agrees = jax.vmap(check_one)(dm_nbrs_depth, nbr_poses)  # (M, H, W)
+    n_agree = jnp.sum(agrees.astype(jnp.int32), axis=0)
+    valid = dm_ref.valid & (n_agree >= min_consistent)
+    return DepthMap(depth=dm_ref.depth, confidence=dm_ref.confidence, valid=valid)
+
+
 def densify_map(
     images_gray: Sequence[np.ndarray],
     state: MapState,
@@ -209,21 +263,34 @@ def densify_map(
     num_neighbors: int = 2,
     stride: int = 2,
     images_bgr: Optional[Sequence[np.ndarray]] = None,
+    geometric_check: bool = True,
+    geo_rel_tol: float = 0.03,
 ):
-    """Run plane-sweep on every frame and fuse a dense colored cloud.
+    """Plane-sweep every frame, cross-check depths, fuse a colored cloud.
 
-    Depth range comes from the sparse map's point depths per camera.
-    Returns (points (N,3) np, colors (N,3) np) ready for io.to_ply
-    (dense.ply — the output the reference declared but never produced).
+    Two passes: (1) per-frame plane-sweep depth maps (range from the
+    sparse map's point depths); (2) cross-view geometric-consistency
+    filtering — a pixel survives only if a neighbor's depth map agrees
+    with its 3D position — then back-projection. Returns (points (N,3),
+    colors (N,3)) ready for io.to_ply (dense.ply — the output slot the
+    reference declared but never produced, sfm.py:199/298).
     """
     n_cams = int(state.num_cams)
     K = state.K
     pts = np.asarray(state.points)
     pvalid = np.asarray(state.point_valid)
-    all_pts, all_cols = [], []
+
+    def neighbors(r):
+        return [
+            i
+            for i in range(max(0, r - num_neighbors), min(n_cams, r + num_neighbors + 1))
+            if i != r
+        ]
+
+    # Pass 1: depth maps.
+    depth_maps: dict[int, DepthMap] = {}
     for r in range(n_cams):
         pose_r = state.poses[r]
-        # depth stats of sparse points in this camera
         Xc = pts[pvalid] @ np.asarray(pose_r[:, :3]).T + np.asarray(pose_r[:, 3])
         z = Xc[:, 2]
         z = z[z > 0]
@@ -231,9 +298,8 @@ def densify_map(
             continue
         dmin = float(np.percentile(z, 2) * 0.7)
         dmax = float(np.percentile(z, 98) * 1.4)
-        nbrs = [i for i in range(max(0, r - num_neighbors),
-                                 min(n_cams, r + num_neighbors + 1)) if i != r]
-        dm = plane_sweep_depth(
+        nbrs = neighbors(r)
+        depth_maps[r] = plane_sweep_depth(
             jnp.asarray(images_gray[r]),
             jnp.stack([jnp.asarray(images_gray[i]) for i in nbrs]),
             pose_r,
@@ -242,7 +308,25 @@ def densify_map(
             jnp.asarray(dmin), jnp.asarray(dmax),
             num_depths=num_depths,
         )
-        color = jnp.asarray(images_bgr[r]) if images_bgr is not None else jnp.asarray(images_gray[r])
+
+    # Pass 2: cross-view consistency + fusion.
+    all_pts, all_cols = [], []
+    for r, dm in depth_maps.items():
+        pose_r = state.poses[r]
+        nbrs = [i for i in neighbors(r) if i in depth_maps]
+        if geometric_check and nbrs:
+            dm = geometric_consistency(
+                dm,
+                pose_r,
+                jnp.stack([depth_maps[i].depth for i in nbrs]),
+                jnp.stack([state.poses[i] for i in nbrs]),
+                K,
+                rel_tol=geo_rel_tol,
+            )
+        color = (
+            jnp.asarray(images_bgr[r]) if images_bgr is not None
+            else jnp.asarray(images_gray[r])
+        )
         Xw, cols, valid = backproject_depth(dm, pose_r, K, color, stride=stride)
         v = np.asarray(valid)
         all_pts.append(np.asarray(Xw)[v])

@@ -80,6 +80,36 @@ def test_densify_map(scene):
     )
     pts, cols = mvs.densify_map(imgs, state, num_depths=64, stride=4)
     assert len(pts) > 2000
-    # Strips live at z in [-2, 2]; photometric confidence alone leaves a
-    # small tail of leaks (cross-view geometric consistency is future work).
-    assert (np.abs(pts[:, 2]) < 3.0).mean() > 0.85
+    # Strips live at z in [-2, 2]; default geometric_check removes most
+    # photometric leaks (see test_geometric_consistency_removes_leaks).
+    assert (np.abs(pts[:, 2]) < 3.0).mean() > 0.9
+
+
+def test_geometric_consistency_removes_leaks(scene):
+    imgs, Rt, K, depths_gt = scene
+    import jax.numpy as jnp
+
+    state = map_store.init_map(jnp.asarray(K), MapConfig(max_cameras=4, max_points=4096))
+    for c in range(3):
+        state, _ = map_store.append_camera(state, jnp.asarray(Rt[c]))
+    rng = np.random.default_rng(0)
+    ys = rng.integers(0, 120, 300)
+    xs = rng.integers(0, 160, 300)
+    z = depths_gt[1][ys, xs]
+    ok = z > 0
+    Kinv = np.linalg.inv(K)
+    rays = np.stack([xs, ys, np.ones_like(xs)], -1) @ Kinv.T
+    Xc = rays * z[:, None]
+    Xw = (Xc - Rt[1][:, 3]) @ Rt[1][:, :3]
+    state, _ = map_store.append_points(
+        state, jnp.asarray(Xw.astype(np.float32)), jnp.zeros((300, 3)), jnp.asarray(ok)
+    )
+    pts_geo, _ = mvs.densify_map(imgs, state, num_depths=64, stride=4,
+                                 geometric_check=True)
+    pts_raw, _ = mvs.densify_map(imgs, state, num_depths=64, stride=4,
+                                 geometric_check=False)
+    frac_geo = (np.abs(pts_geo[:, 2]) < 3.0).mean()
+    frac_raw = (np.abs(pts_raw[:, 2]) < 3.0).mean()
+    assert len(pts_geo) > 500
+    assert frac_geo >= frac_raw  # the filter only removes outliers
+    assert frac_geo > 0.97
