@@ -6,11 +6,10 @@ per-frame pipeline: SIFT detection, KNN matching, PnP-RANSAC registration,
 triangulation, AND a global sparse-Schur LM bundle adjustment every frame
 (strictly more optimization work than the reference's per-frame local BA).
 
-Engineering notes: the whole per-frame pipeline (detect + register + BA)
-is ONE jitted program, so each frame costs one dispatch; frames are
-pre-staged to device memory as uint8 (a production loader would overlap
-this transfer with compute) and no host syncs happen inside the timed
-loop.
+Engineering notes: each frame runs three separately-jitted programs
+(detect / register / BA — measured faster than one fused program, see
+docs/DESIGN.md §5); frames are pre-staged to device memory as uint8 and
+no host syncs happen inside the timed loop, so dispatches pipeline.
 
 Baseline: the reference's only published wall-clock number — bundle-
 adjusted frames take "close to half a minute per frame" (sfm.py:378),
