@@ -164,44 +164,34 @@ def _bilinear_gather(maps: jnp.ndarray, layer: jnp.ndarray, x: jnp.ndarray, y: j
     layer: (..., ) int32; x, y: (...,) float. Out-of-range coords clamp.
     Returns (C, ...) samples.
 
-    Implemented as ONE `lax.gather` per sample point pulling the whole
-    (2, 2, C) corner-and-channel block from a channels-last copy — 8x
-    fewer gather rows (and 8x larger rows) than per-corner per-channel
-    element gathers, which is the difference between ~bandwidth-bound and
-    gather-issue-bound on TPU.
+    Per-corner flat element gathers. (A single blocked lax.gather pulling
+    the (2,2,C) corner/channel slice per sample was tried and measured
+    SLOWER end-to-end on v5e — 3.79 vs 4.71 frames/s in bench.py — TPU
+    lowers small-slice gathers worse than plain element gathers.)
     """
     C, L, H, W = maps.shape
-    shape = x.shape
-    x = jnp.clip(x, 0.0, W - 1.001).reshape(-1)
-    y = jnp.clip(y, 0.0, H - 1.001).reshape(-1)
-    lay = layer.reshape(-1)
-    x0 = jnp.minimum(jnp.floor(x).astype(jnp.int32), W - 2)
-    y0 = jnp.minimum(jnp.floor(y).astype(jnp.int32), H - 2)
+    x = jnp.clip(x, 0.0, W - 1.001)
+    y = jnp.clip(y, 0.0, H - 1.001)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
     fx = x - x0
     fy = y - y0
+    flat = maps.reshape(C, L * H * W)
 
-    operand = jnp.moveaxis(maps, 0, -1)  # (L, H, W, C)
-    starts = jnp.stack([lay, y0, x0], axis=-1)  # (N, 3)
-    dnums = jax.lax.GatherDimensionNumbers(
-        offset_dims=(1, 2, 3),
-        collapsed_slice_dims=(0,),
-        start_index_map=(0, 1, 2),
+    def at(yy, xx):
+        idx = (layer * H + yy) * W + xx
+        return flat[:, idx.reshape(-1)].reshape((C,) + idx.shape)
+
+    v00 = at(y0, x0)
+    v01 = at(y0, x0 + 1)
+    v10 = at(y0 + 1, x0)
+    v11 = at(y0 + 1, x0 + 1)
+    return (
+        v00 * (1 - fy) * (1 - fx)
+        + v01 * (1 - fy) * fx
+        + v10 * fy * (1 - fx)
+        + v11 * fy * fx
     )
-    block = jax.lax.gather(
-        operand, starts, dnums, slice_sizes=(1, 2, 2, C),
-        mode=jax.lax.GatherScatterMode.CLIP,
-    )  # (N, 2, 2, C): [sample, dy, dx, channel]
-    w00 = ((1 - fy) * (1 - fx))[:, None]
-    w01 = ((1 - fy) * fx)[:, None]
-    w10 = (fy * (1 - fx))[:, None]
-    w11 = (fy * fx)[:, None]
-    out = (
-        block[:, 0, 0, :] * w00
-        + block[:, 0, 1, :] * w01
-        + block[:, 1, 0, :] * w10
-        + block[:, 1, 1, :] * w11
-    )  # (N, C)
-    return jnp.moveaxis(out, -1, 0).reshape((C,) + shape)
 
 
 # ---------------------------------------------------------------------------
