@@ -1,0 +1,82 @@
+"""Pyramidal LK tracking vs known warps and the cv2 oracle."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from sfm_mvs_tpu.ops import optical_flow
+from sfm_mvs_tpu.utils.synthetic import make_texture
+
+
+def _shifted_pair(dx=3.2, dy=-2.4, size=160):
+    tex = make_texture(256, seed=3)
+    img0 = tex[40 : 40 + size, 40 : 40 + size].astype(np.float32)
+    # bilinear shift
+    ys, xs = np.mgrid[0:size, 0:size].astype(np.float64)
+    sx = np.clip(xs + dx, 0, 255 - 41 - size) + 0  # sample img1(x) = img0(x - d)??
+    # simpler: img1(x) = tex[x + d] so tracking moves by -d... define directly:
+    img1 = tex[40 : 40 + size + 1, 40 : 40 + size + 1]
+    x1 = np.clip(xs + dx, 0, 255 - 40 - 1)
+    y1 = np.clip(ys + dy, 0, 255 - 40 - 1)
+    x0i = np.floor(x1).astype(int)
+    y0i = np.floor(y1).astype(int)
+    fx = (x1 - x0i).astype(np.float32)
+    fy = (y1 - y0i).astype(np.float32)
+    big = tex[40:, 40:]
+    img1 = (
+        big[y0i, x0i] * (1 - fy) * (1 - fx)
+        + big[y0i, np.minimum(x0i + 1, big.shape[1] - 1)] * (1 - fy) * fx
+        + big[np.minimum(y0i + 1, big.shape[0] - 1), x0i] * fy * (1 - fx)
+        + big[np.minimum(y0i + 1, big.shape[0] - 1), np.minimum(x0i + 1, big.shape[1] - 1)] * fy * fx
+    ).astype(np.float32)
+    return img0, img1, (dx, dy)
+
+
+def test_tracks_known_translation():
+    img0, img1, (dx, dy) = _shifted_pair()
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(25, 135, size=(64, 2)).astype(np.float32)
+    res = optical_flow.track_points(
+        jnp.asarray(img0), jnp.asarray(img1), jnp.asarray(pts),
+        jnp.ones(64, dtype=bool),
+    )
+    v = np.asarray(res.valid)
+    # smooth value-noise regions fail the min-eigenvalue conditioning
+    # check by design; well-textured points all track
+    assert v.mean() > 0.5
+    flow = np.asarray(res.points) - pts
+    # img1(x) = img0(x + d) means features move by -d in the image
+    np.testing.assert_allclose(
+        np.median(flow[v], axis=0), [-dx, -dy], atol=0.2
+    )
+
+
+def test_matches_cv2_pyrlk():
+    cv2 = pytest.importorskip("cv2")
+    img0, img1, _ = _shifted_pair(dx=5.0, dy=4.0)
+    rng = np.random.default_rng(1)
+    pts = rng.uniform(30, 130, size=(32, 2)).astype(np.float32)
+    res = optical_flow.track_points(
+        jnp.asarray(img0), jnp.asarray(img1), jnp.asarray(pts),
+        jnp.ones(32, dtype=bool),
+    )
+    cv_pts, st, _ = cv2.calcOpticalFlowPyrLK(
+        (img0 * 255).astype(np.uint8), (img1 * 255).astype(np.uint8),
+        pts.reshape(-1, 1, 2), None, winSize=(15, 15), maxLevel=2,
+    )
+    cv_pts = cv_pts.reshape(-1, 2)
+    both = np.asarray(res.valid) & (st.ravel() == 1)
+    assert both.sum() > 20
+    diff = np.abs(np.asarray(res.points)[both] - cv_pts[both])
+    assert np.median(diff) < 0.3
+
+
+def test_invalid_inputs_masked():
+    img0, img1, _ = _shifted_pair()
+    pts = np.array([[80.0, 80.0], [2.0, 2.0]], np.float32)  # 2nd near border
+    valid = jnp.asarray([True, False])
+    res = optical_flow.track_points(
+        jnp.asarray(img0), jnp.asarray(img1), jnp.asarray(pts), valid
+    )
+    assert not bool(res.valid[1])
