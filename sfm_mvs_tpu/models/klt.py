@@ -142,7 +142,6 @@ def replenish(state: KltState, feats: sift.Features, cfg: SfmConfig, min_dist: f
     cand = feats.valid & (dmin > min_dist**2)
     # order candidates by response; assign to dead slots
     order = jnp.argsort(jnp.where(cand, -feats.response, 1e9))
-    dead_order = jnp.argsort(~state.alive)  # live first... we want dead first
     dead_order = jnp.argsort(state.alive.astype(jnp.int32), stable=True)  # dead first
     n_dead = jnp.sum(~state.alive)
     take = jnp.arange(S) < jnp.minimum(n_dead, jnp.sum(cand))

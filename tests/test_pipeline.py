@@ -113,3 +113,25 @@ def test_finalize_improves_map(reconstruction):
     assert (tl[pv] >= 2).all()
     poses = np.asarray(new_state.poses)[np.asarray(new_state.cam_valid)]
     assert evaluate.ate_rmse(poses, Rt_gt) < 0.05
+
+
+@pytest.mark.parametrize("seed", [11, 23])
+def test_pipeline_robust_across_textures(seed):
+    """Different texture seeds (different scenes) must all reconstruct."""
+    imgs, Rt_gt, K = render_staircase_sequence(
+        num_cameras=4, arc_degrees=20, image_size=(320, 240), seed=seed
+    )
+    cfg = SfmConfig(
+        fx=float(K[0, 0]), fy=float(K[1, 1]), cx=float(K[0, 2]), cy=float(K[1, 2]),
+        downscale=1,
+        frontend=FrontendConfig(
+            max_features=1024, num_octaves=3, upsample_input=True,
+            contrast_threshold=0.015, lowe_ratio=0.75,
+        ),
+        map=MapConfig(max_cameras=8, max_points=16384),
+    )
+    sfm = IncrementalSfM(cfg)
+    state = sfm.run(imgs)
+    poses = np.asarray(state.poses)[np.asarray(state.cam_valid)]
+    assert len(poses) == 4
+    assert evaluate.ate_rmse(poses, Rt_gt) < 0.08
