@@ -78,7 +78,11 @@ def main():
             pstate = pstate._replace(map=mstate)
     jax.block_until_ready(pstate.map.points)
     elapsed = time.time() - t0
-    state = pstate.map
+
+    # Final polish: cull + global BA (models/refine.py).
+    from sfm_mvs_tpu.models.refine import finalize_map
+
+    state, fin = finalize_map(pstate.map, max_iterations=15)
     n_cams = int(np.asarray(state.cam_valid).sum())
     poses = np.asarray(state.poses)[np.asarray(state.cam_valid)]
     ate = (
@@ -94,6 +98,7 @@ def main():
         "points": int(state.num_points),
         "observations": int(map_store.num_observations(state)),
         "ate": round(float(ate), 5),
+        "finalize": fin,
     }
     print(json.dumps(result))
 

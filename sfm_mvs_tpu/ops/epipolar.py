@@ -137,6 +137,97 @@ def decompose_essential(E: jnp.ndarray):
     return Rs, ts
 
 
+def decompose_homography(Hn: jnp.ndarray):
+    """Faugeras SVD decomposition of a *normalized* homography.
+
+    Hn maps normalized camera coords of view 1 to view 2 (Hn = K^-1 H_px
+    K for pixel-frame H). Returns (Rs (4,3,3), ts (4,3), ns (4,3)): the
+    four physical (R, t/d, n) candidates for the underlying plane motion
+    x2 ~ (R + t n^T) x1. Callers disambiguate by plane-visibility
+    (n_z > 0) and cheirality, exactly as recover_pose does for E.
+
+    This is the planar-scene complement to the essential path: for (near-)
+    planar scenes E is ambiguous but H is well-determined, so the
+    bootstrap selects between them by inlier support (two_view.bootstrap).
+    """
+    U, d, Vt = jnp.linalg.svd(Hn)
+    s = jnp.linalg.det(U) * jnp.linalg.det(Vt)
+    d1, d2, d3 = d[0], d[1], d[2]
+    # Normalize so the middle singular value is 1.
+    a = d1 / d2
+    c = d3 / d2
+    denom = jnp.maximum(a * a - c * c, 1e-12)
+    x1 = jnp.sqrt(jnp.clip((a * a - 1.0) / denom, 0.0, 1.0))
+    x3 = jnp.sqrt(jnp.clip((1.0 - c * c) / denom, 0.0, 1.0))
+    sin_t = (a - c) * x1 * x3
+    cos_t = a * x3 * x3 + c * x1 * x1
+
+    V = Vt.T
+    Rs, ts, ns = [], [], []
+    for e1 in (1.0, -1.0):
+        for e3 in (1.0, -1.0):
+            st = e1 * e3 * sin_t
+            Rp = jnp.array(
+                [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]],
+                dtype=Hn.dtype,
+            )
+            Rp = Rp.at[0, 0].set(cos_t).at[2, 2].set(cos_t)
+            Rp = Rp.at[0, 2].set(-st).at[2, 0].set(st)
+            tp = (a - c) * jnp.stack([e1 * x1, 0.0, -e3 * x3])
+            np_ = jnp.stack([e1 * x1, 0.0, e3 * x3])
+            R = s * U @ Rp @ Vt
+            t = U @ tp
+            n = V @ np_
+            # Plane must face camera 1: flip (t, n) so n_z > 0.
+            flip = jnp.where(n[2] < 0, -1.0, 1.0)
+            Rs.append(R)
+            ts.append(t * flip)
+            ns.append(n * flip)
+    return jnp.stack(Rs), jnp.stack(ts), jnp.stack(ns)
+
+
+def recover_pose_from_homography(
+    Hn: jnp.ndarray,
+    pts1: jnp.ndarray,
+    pts2: jnp.ndarray,
+    mask: jnp.ndarray,
+):
+    """Best (R, t) from a normalized homography by cheirality + reprojection.
+
+    Same contract as recover_pose: pts in normalized camera coordinates.
+    Returns (R, t, per-point positive-depth mask).
+    """
+    Rs, ts, _ = decompose_homography(Hn)
+    P1 = jnp.concatenate(
+        [jnp.eye(3, dtype=Hn.dtype), jnp.zeros((3, 1), Hn.dtype)], axis=1
+    )
+
+    def score(R, t):
+        Rt2 = jnp.concatenate([R, t[:, None]], axis=1)
+        X = triangulation.triangulate_euclidean(P1, Rt2, pts1, pts2)
+        d1, d2 = triangulation.triangulation_depths(P1, Rt2, X)
+        good = (d1 > 0) & (d2 > 0) & mask
+        # tiebreak equal cheirality counts by reprojection agreement
+        proj2 = X @ Rt2[:, :3].T + Rt2[:, 3]
+        uv2 = proj2[:, :2] / jnp.where(
+            jnp.abs(proj2[:, 2:3]) < 1e-9, 1e-9, proj2[:, 2:3]
+        )
+        err = jnp.sum(jnp.where(good, jnp.sum((uv2 - pts2) ** 2, axis=-1), 0.0))
+        return good, jnp.sum(good).astype(jnp.float32) - 1e-3 * err
+
+    goods, scores = [], []
+    for k in range(4):
+        g, sc = score(Rs[k], ts[k])
+        goods.append(g)
+        scores.append(sc)
+    best = jnp.argmax(jnp.stack(scores))
+    t_best = ts[best]
+    # decompose_homography returns t/d (plane-distance scale); normalize to
+    # match recover_pose's unit-translation convention.
+    t_best = t_best / jnp.maximum(jnp.linalg.norm(t_best), 1e-12)
+    return Rs[best], t_best, jnp.stack(goods)[best]
+
+
 def recover_pose(
     E: jnp.ndarray,
     pts1: jnp.ndarray,

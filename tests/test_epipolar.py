@@ -113,3 +113,29 @@ def test_fundamental_eight_point():
     x1 = np.concatenate([uv1, np.ones((128, 1))], axis=1)
     resid = np.abs(np.sum(x1 * (x0 @ F.T), axis=1))
     assert np.median(resid) < 1e-2
+
+
+def test_homography_decomposition_recovers_planar_pose(rng):
+    """Faugeras decomposition: exact pose from a plane-induced homography."""
+    from sfm_mvs_tpu.ops import lie
+    from sfm_mvs_tpu.ops.homography import homography_dlt
+
+    n = np.array([0.2, -0.1, 0.97]); n /= np.linalg.norm(n)
+    d = 5.0
+    basis = np.linalg.svd(n[None])[2][1:]
+    uvp = rng.uniform(-2, 2, (200, 2))
+    X1 = d * n + uvp @ basis
+    R = np.asarray(lie.so3_exp(jnp.asarray(np.array([0.05, -0.12, 0.03], np.float32))))
+    t = np.array([0.4, 0.1, -0.2], np.float32)
+    X2 = X1 @ R.T + t
+    p1 = (X1[:, :2] / X1[:, 2:3]).astype(np.float32)
+    p2 = (X2[:, :2] / X2[:, 2:3]).astype(np.float32)
+    Hn = homography_dlt(jnp.asarray(p1), jnp.asarray(p2))
+    Rr, tr, mask = epipolar.recover_pose_from_homography(
+        Hn, jnp.asarray(p1), jnp.asarray(p2), jnp.ones(200, bool)
+    )
+    np.testing.assert_allclose(np.asarray(Rr), R, atol=1e-4)
+    tu = t / np.linalg.norm(t)
+    trn = np.array(tr); trn = trn / np.linalg.norm(trn)
+    assert min(np.abs(trn - tu).max(), np.abs(trn + tu).max()) < 1e-3
+    assert float(mask.mean()) > 0.99

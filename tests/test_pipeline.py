@@ -135,3 +135,32 @@ def test_pipeline_robust_across_textures(seed):
     poses = np.asarray(state.poses)[np.asarray(state.cam_valid)]
     assert len(poses) == 4
     assert evaluate.ate_rmse(poses, Rt_gt) < 0.08
+
+
+def test_planar_scene_bootstrap_via_model_selection():
+    """A near-planar scene must NOT bend the trajectory: the bootstrap's
+    H/E model selection routes it through homography decomposition."""
+    imgs, Rt_gt, K = render_staircase_sequence(
+        num_cameras=4, arc_degrees=20, depth_spread=0.5, image_size=(320, 240)
+    )
+    cfg = SfmConfig(
+        fx=float(K[0, 0]), fy=float(K[1, 1]), cx=float(K[0, 2]), cy=float(K[1, 2]),
+        downscale=1,
+        frontend=FrontendConfig(
+            max_features=1024, num_octaves=3, upsample_input=True,
+            contrast_threshold=0.015, lowe_ratio=0.75,
+        ),
+        map=MapConfig(max_cameras=8, max_points=16384),
+    )
+    sfm = IncrementalSfM(cfg)
+    state = sfm.run(imgs)
+    # near-planar incremental registration drifts without optimization;
+    # the recommended config runs BA — apply the final polish as the
+    # quality matrix does.
+    from sfm_mvs_tpu.models.refine import finalize_map
+
+    state, _ = finalize_map(state, max_iterations=10)
+    poses = np.asarray(state.poses)[np.asarray(state.cam_valid)]
+    assert len(poses) == 4
+    rot = evaluate.rotation_errors_deg(poses, Rt_gt)
+    assert rot.max() < 1.0  # was ~13 deg with E-only bootstrap
