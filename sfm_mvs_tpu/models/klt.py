@@ -96,8 +96,14 @@ def klt_step(
         projection.reprojection_residuals(X_new, pos, pose_new, K), axis=-1
     )
     good = fresh & (d0 > 0) & (d1 > 0) & (e0 < rc.pnp_threshold_px) & (e1 < rc.pnp_threshold_px)
-    zeros = jnp.zeros((pos.shape[0], 3))
-    m, pids = map_store.append_points(m, X_new, zeros, good)
+    # grayscale intensity as the point color (BGR-replicated, like the
+    # incremental pipeline does when no color image is supplied)
+    Hh, Ww = new_gray.shape
+    xi = jnp.clip(pos[:, 0].astype(jnp.int32), 0, Ww - 1)
+    yi = jnp.clip(pos[:, 1].astype(jnp.int32), 0, Hh - 1)
+    gval = new_gray[yi, xi] * 255.0
+    colors = jnp.stack([gval, gval, gval], axis=-1)
+    m, pids = map_store.append_points(m, X_new, colors, good)
     m = map_store.append_observations(m, prev_cam, pids, state.positions, good)
     m = map_store.append_observations(m, cam_new, pids, pos, good)
     tids = jnp.where(good, pids.astype(jnp.int32), tids)

@@ -175,9 +175,13 @@ class GlobalSfM:
         state = map_store.init_map(K, cfg.map)
         for pose in poses:
             state, _ = map_store.append_camera(state, pose)
-        state, pids = map_store.append_points(
-            state, X, jnp.zeros_like(X), pvalid
-        )
+        g0 = jnp.asarray(images_gray[0])
+        Hh, Ww = g0.shape
+        xi = jnp.clip(tracks[0][:, 0].astype(jnp.int32), 0, Ww - 1)
+        yi = jnp.clip(tracks[0][:, 1].astype(jnp.int32), 0, Hh - 1)
+        gval = g0[yi, xi] * 255.0
+        colors = jnp.stack([gval, gval, gval], axis=-1)
+        state, pids = map_store.append_points(state, X, colors, pvalid)
         for i in range(F):
             obs_ok = pvalid & tvalid[i]
             state = map_store.append_observations(
