@@ -244,9 +244,13 @@ class GlobalSfM:
                 & (e0 < cfg.ransac.pnp_threshold_px)
                 & (e1 < cfg.ransac.pnp_threshold_px)
             )
-            state, pids = map_store.append_points(
-                state, X, jnp.zeros_like(X), good
-            )
+            gi = jnp.asarray(images_gray[i])
+            Hh, Ww = gi.shape
+            xi = jnp.clip(uv0[:, 0].astype(jnp.int32), 0, Ww - 1)
+            yi = jnp.clip(uv0[:, 1].astype(jnp.int32), 0, Hh - 1)
+            gval = gi[yi, xi] * 255.0
+            colors = jnp.stack([gval, gval, gval], axis=-1)
+            state, pids = map_store.append_points(state, X, colors, good)
             state = map_store.append_observations(state, i, pids, uv0, good)
             state = map_store.append_observations(state, i + 1, pids, uv1, good)
         self.state = state

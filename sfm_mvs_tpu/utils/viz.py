@@ -17,16 +17,20 @@ import numpy as np
 
 
 def draw_points(
-    image_gray: np.ndarray, pts: np.ndarray, radius: int = 2
+    image_gray: np.ndarray, pts: np.ndarray, radius: int = 2, reproj: bool = True
 ) -> np.ndarray:
     """Overlay points on a grayscale image -> (H, W, 3) uint8 RGB.
 
     The headless equivalent of Draw_points (sfm.py:160-166): detected
-    keypoints green, or reprojected points red if `reproj`.
+    keypoints green (reproj=False), reprojected points red (reproj=True).
     """
     H, W = image_gray.shape
     img = np.repeat((np.clip(image_gray, 0, 1) * 255).astype(np.uint8)[..., None], 3, -1)
-    color = np.array([255, 40, 40], dtype=np.uint8)
+    color = (
+        np.array([255, 40, 40], dtype=np.uint8)
+        if reproj
+        else np.array([40, 255, 40], dtype=np.uint8)
+    )
     for x, y in np.asarray(pts):
         xi, yi = int(round(x)), int(round(y))
         x0, x1 = max(xi - radius, 0), min(xi + radius + 1, W)
