@@ -88,6 +88,13 @@ def bootstrap(
     R_rel = jnp.where(use_h, R_h, R_e)
     t_rel = jnp.where(use_h, t_h, t_e)
     cheir = jnp.where(use_h, cheir_h, cheir_e)
+    inl = jnp.where(use_h, h_res.inliers, res.inliers)
+    # Manifold polish: Gauss-Newton on inlier Sampson error over the 5-dof
+    # (R, t-direction) parameterization — 5-point-level accuracy from the
+    # linear initialization (epipolar.refine_relative_pose).
+    R_rel, t_rel = epipolar.refine_relative_pose(
+        R_rel, t_rel, n0, n1, inl & cheir
+    )
 
     if pose0 is None:
         pose0 = jnp.concatenate(

@@ -15,6 +15,7 @@ behavior of cv2.recoverPose.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from sfm_mvs_tpu.ops import triangulation
@@ -135,6 +136,66 @@ def decompose_essential(E: jnp.ndarray):
     Rs = jnp.stack([R1, R1, R2, R2])
     ts = jnp.stack([t, -t, t, -t])
     return Rs, ts
+
+
+def refine_relative_pose(
+    R0: jnp.ndarray,
+    t0: jnp.ndarray,
+    pts1: jnp.ndarray,
+    pts2: jnp.ndarray,
+    mask: jnp.ndarray,
+    iters: int = 10,
+    damping: float = 1e-8,
+):
+    """Gauss-Newton refinement of a relative pose on inlier Sampson error.
+
+    Minimizes the squared Sampson distances of E(R, t) = [t]_x R over the
+    5-dof pose manifold: 3 rotation parameters (left-multiplied axis-angle
+    increment) + 2 translation-direction parameters (tangent basis of the
+    unit sphere at t). This is the practical equivalent of a 5-point
+    polish: it recovers minimal-parameterization accuracy from any
+    initialization (8-point+cheirality or homography decomposition)
+    without polynomial solvers. Steps that increase the masked SSE are
+    rejected (1-step trust region), so the call never degrades its input.
+    """
+    from sfm_mvs_tpu.ops import lie  # local import to avoid cycles
+
+    t0 = t0 / jnp.maximum(jnp.linalg.norm(t0), 1e-12)
+    # Tangent basis of S^2 at t0.
+    ref = jnp.where(jnp.abs(t0[0]) < 0.9, jnp.array([1.0, 0.0, 0.0], t0.dtype),
+                    jnp.array([0.0, 1.0, 0.0], t0.dtype))
+    b1 = jnp.cross(t0, ref)
+    b1 = b1 / jnp.maximum(jnp.linalg.norm(b1), 1e-12)
+    b2 = jnp.cross(t0, b1)
+    m = mask.astype(R0.dtype)
+
+    def unpack(p):
+        R = lie.so3_exp(p[:3]) @ R0
+        t = t0 + p[3] * b1 + p[4] * b2
+        t = t / jnp.maximum(jnp.linalg.norm(t), 1e-12)
+        return R, t
+
+    def residuals(p):
+        R, t = unpack(p)
+        E = lie.hat(t) @ R
+        return jnp.sqrt(sampson_error(E, pts1, pts2) + 1e-18) * m
+
+    def sse(p):
+        r = residuals(p)
+        return jnp.sum(r * r)
+
+    jac = jax.jacfwd(residuals)
+
+    def step(_, p):
+        r = residuals(p)
+        J = jac(p)  # (N, 5)
+        H = J.T @ J + damping * jnp.eye(5, dtype=R0.dtype)
+        g = J.T @ r
+        cand = p - jnp.linalg.solve(H, g)
+        return jnp.where(sse(cand) < sse(p), cand, p)
+
+    p = jax.lax.fori_loop(0, iters, step, jnp.zeros(5, R0.dtype))
+    return unpack(p)
 
 
 def decompose_homography(Hn: jnp.ndarray):

@@ -139,3 +139,23 @@ def test_homography_decomposition_recovers_planar_pose(rng):
     trn = np.array(tr); trn = trn / np.linalg.norm(trn)
     assert min(np.abs(trn - tu).max(), np.abs(trn + tu).max()) < 1e-3
     assert float(mask.mean()) > 0.99
+
+
+def test_refine_relative_pose_improves_noisy_estimate():
+    """Sampson-manifold GN polish: 5-point-level accuracy from 8-point."""
+    scene, n0, n1, R_rel, t_rel = _two_view(noise=0.8, seed=1)
+    n0 = jnp.asarray(n0.astype(np.float32))
+    n1 = jnp.asarray(n1.astype(np.float32))
+    E = epipolar.essential_eight_point(n0, n1)
+    mask = jnp.ones(n0.shape[0], dtype=bool)
+    R8, t8, ch = epipolar.recover_pose(E, n0, n1, mask)
+    Rr, tr = epipolar.refine_relative_pose(R8, t8, n0, n1, ch)
+    tu = t_rel / np.linalg.norm(t_rel)
+
+    def t_err(t):
+        t = np.asarray(t)
+        return min(np.abs(t - tu).max(), np.abs(t + tu).max())
+
+    assert t_err(tr) <= t_err(t8) + 1e-6  # never degrades
+    assert t_err(tr) < 0.001
+    assert np.abs(np.asarray(Rr) - R_rel).max() < 0.001
