@@ -207,7 +207,7 @@ def _inv3(M: jnp.ndarray) -> jnp.ndarray:
 
 
 def _lm_solve(prob: BAProblem, lam: jnp.ndarray, cg_iters: int,
-              axis_name: str | None = None):
+              axis_name: str | None = None, huber_delta: float = 0.0):
     """Solve the damped normal equations via Schur + PCG.
 
     Returns (delta_cam (C,6), delta_pts (P,3)). With `axis_name`, the
@@ -221,6 +221,14 @@ def _lm_solve(prob: BAProblem, lam: jnp.ndarray, cg_iters: int,
     r, (A, B) = _res_jac_grid(
         prob.cam_params, prob.points, prob.obs_uv, prob.K
     )  # r (P,C,2), A (P,C,2,6), B (P,C,2,3)
+    if huber_delta > 0.0:
+        # IRLS Huber weights: w_h = min(1, delta/|r|) applied as sqrt to
+        # residuals AND Jacobians so the normal equations solve the
+        # robustified problem. Down-weights mismatches that survived the
+        # geometric filters instead of letting them drag the solution.
+        rnorm = jnp.linalg.norm(r, axis=-1)  # (P, C)
+        w_h = jnp.minimum(1.0, huber_delta / jnp.maximum(rnorm, 1e-9))
+        w = w * jnp.sqrt(w_h)
     wmask = w[..., None, None]
     A = A * wmask * (~prob.frozen)[None, :, None, None].astype(A.dtype)
     B = B * wmask
@@ -310,7 +318,7 @@ def _lm_solve(prob: BAProblem, lam: jnp.ndarray, cg_iters: int,
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("max_iterations", "cg_iters", "axis_name"))
+@partial(jax.jit, static_argnames=("max_iterations", "cg_iters", "axis_name", "huber_delta"))
 def run_ba(
     prob: BAProblem,
     max_iterations: int = 20,
@@ -319,6 +327,7 @@ def run_ba(
     damping_up: float = 4.0,
     damping_down: float = 2.0,
     axis_name: str | None = None,
+    huber_delta: float = 0.0,
 ) -> tuple[BAProblem, BAStats]:
     """Levenberg-Marquardt with accept/reject and multiplicative damping.
 
@@ -331,7 +340,7 @@ def run_ba(
 
     def body(carry):
         prob, lam, cost, it, accepted = carry
-        dc, dp = _lm_solve(prob, lam, cg_iters, axis_name)
+        dc, dp = _lm_solve(prob, lam, cg_iters, axis_name, huber_delta)
         cand = prob._replace(
             cam_params=prob.cam_params + dc, points=prob.points + dp
         )
@@ -364,10 +373,15 @@ def bundle_adjust_map(
     cg_iters: int = 20,
     frozen_first: int = 1,
     local_window: int = 0,
+    huber_delta: float = 0.0,
 ) -> tuple[MapState, BAStats]:
-    """Convenience: map -> BA -> map. local_window > 0 = sliding local BA."""
+    """Convenience: map -> BA -> map. local_window > 0 = sliding local BA;
+    huber_delta > 0 = robustified residuals (pixels)."""
     prob = problem_from_map(
         state, frozen_first=frozen_first, local_window=local_window
     )
-    prob, stats = run_ba(prob, max_iterations=max_iterations, cg_iters=cg_iters)
+    prob, stats = run_ba(
+        prob, max_iterations=max_iterations, cg_iters=cg_iters,
+        huber_delta=huber_delta,
+    )
     return write_back_to_map(state, prob), stats

@@ -268,6 +268,7 @@ class IncrementalSfM:
             pstate.map,
             max_iterations=cfg.ba.max_iterations,
             local_window=cfg.ba.local_window,
+            huber_delta=cfg.ba.huber_delta,
         )
         if self.metrics is not None:
             self.metrics.log(

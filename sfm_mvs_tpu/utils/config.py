@@ -87,6 +87,7 @@ class BaConfig:
     enabled: bool = False  # reference default: bundle_adjustment=False (sfm.py:33)
     max_iterations: int = 20
     cadence: int = 1  # run BA every K registered frames
+    huber_delta: float = 0.0  # >0: Huber-robustified residuals (pixels)
     damping_init: float = 1e-3
     damping_up: float = 4.0
     damping_down: float = 2.0

@@ -107,3 +107,28 @@ def test_local_window_freezes_old_cameras(rng):
     # the last two cameras moved (they were perturbed) and cost dropped
     assert np.abs(np.asarray(new_state.poses[4]) - poses_before[4]).max() > 1e-5
     assert float(stats.final_cost) < float(stats.initial_cost)
+
+
+def test_huber_resists_outlier_observations(rng):
+    """Corrupt 5% of observations; Huber BA stays near truth, L2 drifts."""
+    state, scene = _build_problem(rng, obs_noise=0.0)
+    uv = np.asarray(state.obs_uv).copy()
+    mask = np.asarray(state.obs_mask)
+    idx = np.argwhere(mask)
+    pick = idx[rng.choice(len(idx), size=len(idx) // 20, replace=False)]
+    uv[pick[:, 0], pick[:, 1]] += rng.uniform(30, 80, size=(len(pick), 2))
+    state = state._replace(obs_uv=jnp.asarray(uv))
+
+    l2_state, _ = ba.bundle_adjust_map(state, max_iterations=15, cg_iters=20)
+    hub_state, _ = ba.bundle_adjust_map(
+        state, max_iterations=15, cg_iters=20, huber_delta=2.0
+    )
+
+    def pose_err(st):
+        return max(
+            np.abs(np.asarray(st.poses[c])[:, :3] - scene.Rt[c][:, :3]).max()
+            for c in range(5)
+        )
+
+    assert pose_err(hub_state) < pose_err(l2_state)
+    assert pose_err(hub_state) < 5e-3
