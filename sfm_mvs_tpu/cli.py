@@ -39,6 +39,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--contrast-threshold", type=float, default=0.012)
     p.add_argument("--no-upsample", action="store_true", help="skip 2x input doubling")
     p.add_argument("--essential-threshold", type=float, default=2.0)
+    p.add_argument("--essential-solver", choices=["8pt", "5pt"], default="8pt",
+                   help="minimal E solver: 8-point or Nister 5-point "
+                        "(the reference's OpenCV solver; planar-safe)")
     p.add_argument("--pnp-threshold", type=float, default=4.0)
     p.add_argument("--ba", action="store_true", help="enable bundle adjustment")
     p.add_argument("--ba-cadence", type=int, default=1, help="BA every K frames")
@@ -90,6 +93,7 @@ def config_from_args(args) -> "SfmConfig":
         ),
         ransac=RansacConfig(
             essential_threshold_px=args.essential_threshold,
+            essential_solver=args.essential_solver,
             pnp_threshold_px=args.pnp_threshold,
             seed=args.seed,
             merge_reobservations=not args.no_merge,

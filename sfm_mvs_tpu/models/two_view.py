@@ -63,7 +63,7 @@ def bootstrap(
     res = ransac.ransac_essential(
         k_e, n0, n1, mvalid, focal,
         threshold_px=rc.essential_threshold_px, iters=rc.essential_iters,
-        refit_rounds=rc.refit_rounds,
+        refit_rounds=rc.refit_rounds, solver=rc.essential_solver,
     )
     R_e, t_e, cheir_e = epipolar.recover_pose(res.model, n0, n1, res.inliers)
 

@@ -19,7 +19,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from sfm_mvs_tpu.ops import epipolar, homography, masking, pnp
+from sfm_mvs_tpu.ops import epipolar, five_point, homography, masking, pnp
 
 
 class RansacResult(NamedTuple):
@@ -49,7 +49,7 @@ def _select_and_count(residuals, mask, threshold):
     return best, inl, counts
 
 
-@partial(jax.jit, static_argnames=("iters",))
+@partial(jax.jit, static_argnames=("iters", "solver"))
 def ransac_essential(
     key,
     norm0: jnp.ndarray,
@@ -59,44 +59,77 @@ def ransac_essential(
     threshold_px: float = 1.0,
     iters: int = 2048,
     refit_rounds: int = 2,
+    solver: str = "8pt",
 ) -> RansacResult:
-    """Essential matrix via vmapped 8-point RANSAC.
+    """Essential matrix via vmapped minimal-solver RANSAC.
 
     norm0, norm1: (N, 2) K^-1-normalized correspondences; mask: (N,) valid;
     focal: pixel focal length used to express Sampson distance in ~pixels so
     `threshold_px` is comparable to the reference's (0.4px at sfm.py:307 —
     we default 1.0 since the 8-point minimal solver is noisier than Nister's
     5-point but refit recovers the precision).
+
+    solver: "8pt" (8-point + manifold projection — cheap, but degenerate on
+    planar scenes) or "5pt" (Nister minimal solver, the reference's actual
+    OpenCV solver, five_point.py — exact on planar scenes and far more
+    sample-efficient at low inlier ratios: each sample yields up to 10
+    hypotheses, so `iters` samples score `10*iters` models).
     """
     N = norm0.shape[0]
     count, cmask, c0, c1 = masking.compact(mask, norm0, norm1)
     k1, _ = jax.random.split(key)
-    idx = _sample_indices(k1, iters, 8, count, N)
 
-    def solve(sample_idx):
-        # SVD hypotheses: the eigh form's ~1.3px null-vector noise exceeds
-        # the 1px inlier threshold and collapses small-baseline pairs
-        # (measured: 134 matches -> 2 inliers). E is the one solver whose
-        # threshold sits below eigh precision; PnP/H hypotheses use eigh.
-        return epipolar.essential_eight_point(c0[sample_idx], c1[sample_idx])
+    if solver == "5pt":
+        idx = _sample_indices(k1, iters, 5, count, N)
 
-    Es = jax.vmap(solve)(idx)  # (iters, 3, 3)
+        def solve5(sample_idx):
+            return five_point.essential_five_point(
+                c0[sample_idx], c1[sample_idx]
+            )
+
+        Es, valid = jax.vmap(solve5)(idx)  # (iters, 10, 3, 3), (iters, 10)
+        Es = Es.reshape(-1, 3, 3)
+        hyp_valid = valid.reshape(-1)
+    else:
+        idx = _sample_indices(k1, iters, 8, count, N)
+
+        def solve(sample_idx):
+            # SVD hypotheses: the eigh form's ~1.3px null-vector noise
+            # exceeds the 1px inlier threshold and collapses small-baseline
+            # pairs (measured: 134 matches -> 2 inliers). E is the one
+            # solver whose threshold sits below eigh precision; PnP/H
+            # hypotheses use eigh.
+            return epipolar.essential_eight_point(
+                c0[sample_idx], c1[sample_idx]
+            )
+
+        Es = jax.vmap(solve)(idx)  # (iters, 3, 3)
+        hyp_valid = None
 
     def score(E):
         return epipolar.epipolar_residual_pixels(E, norm0, norm1, focal)
 
-    residuals = jax.vmap(score)(Es)  # (iters, N)
-    best, inl, counts = _select_and_count(residuals, mask, threshold_px)
+    residuals = jax.vmap(score)(Es)  # (hyps, N)
+    inl = (residuals < threshold_px) & mask[None, :]
+    counts = jnp.sum(inl, axis=1)
+    if hyp_valid is not None:
+        counts = jnp.where(hyp_valid, counts, -1)
+    best = jnp.argmax(counts)
     E = Es[best]
     inliers = inl[best]
 
     # Inlier-weighted refits (all correspondences, weights = inlier mask).
+    # Guarded: the 8-point refit is degenerate on planar inlier sets (rank-
+    # deficient design matrix), which matters when the 5pt solver won on a
+    # planar scene — keep a refit only if it does not lose inliers.
     def refit(_, carry):
         E, inliers = carry
         w = inliers.astype(norm0.dtype)
-        E = epipolar.essential_eight_point(norm0, norm1, w)
-        res = epipolar.epipolar_residual_pixels(E, norm0, norm1, focal)
-        return E, (res < threshold_px) & mask
+        E2 = epipolar.essential_eight_point(norm0, norm1, w)
+        res2 = epipolar.epipolar_residual_pixels(E2, norm0, norm1, focal)
+        inl2 = (res2 < threshold_px) & mask
+        better = jnp.sum(inl2) >= jnp.sum(inliers)
+        return (jnp.where(better, E2, E), jnp.where(better, inl2, inliers))
 
     E, inliers = jax.lax.fori_loop(0, refit_rounds, refit, (E, inliers))
     return RansacResult(E, inliers, jnp.sum(inliers))

@@ -46,6 +46,11 @@ class RansacConfig:
     """Vectorized RANSAC (replaces OpenCV RANSAC, sfm.py:307 / sfm.py:67)."""
 
     essential_iters: int = 2048  # hypothesis batch (vmapped, one shot)
+    # Minimal solver: "8pt" (cheap; planar-degenerate, covered by the H/E
+    # model selection in two_view.bootstrap) or "5pt" (Nister, the
+    # reference's actual OpenCV solver — ops/five_point.py; each sample
+    # yields up to 10 hypotheses, so effective batch is 10x iters).
+    essential_solver: str = "8pt"
     # 2px accommodates the detector's subpixel noise at small baselines
     # (measured: a 1px threshold collapses 134 matches to 2 inliers on an
     # 8-degree pair; 2px keeps 127). The weighted refits + pose recovery +
