@@ -38,6 +38,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lowe-ratio", type=float, default=0.70)
     p.add_argument("--contrast-threshold", type=float, default=0.012)
     p.add_argument("--no-upsample", action="store_true", help="skip 2x input doubling")
+    p.add_argument("--grad-sampling", choices=["nearest_polar", "bilinear"],
+                   default="nearest_polar",
+                   help="orientation/descriptor gradient sampling (nearest_polar "
+                        "is ~4x faster on TPU and matches OpenCV's per-pixel reads)")
     p.add_argument("--essential-threshold", type=float, default=2.0)
     p.add_argument("--essential-solver", choices=["8pt", "5pt"], default="8pt",
                    help="minimal E solver: 8-point or Nister 5-point "
@@ -90,6 +94,7 @@ def config_from_args(args) -> "SfmConfig":
             contrast_threshold=args.contrast_threshold,
             upsample_input=not args.no_upsample,
             use_pallas_matcher=args.pallas_matcher,
+            grad_sampling=args.grad_sampling,
         ),
         ransac=RansacConfig(
             essential_threshold_px=args.essential_threshold,

@@ -203,10 +203,66 @@ _ORI_BINS = 36
 _DESC_GRID = 16  # descriptor sample grid (16x16 samples over 4x4 bins)
 
 
-def _orientation(grads: jnp.ndarray, layer, x, y, sigma_oct):
+def _pack_polar(grads: jnp.ndarray) -> jnp.ndarray:
+    """(2, L, H, W) (dx, dy) maps -> (L, H, W) uint32 of (bf16 mag | bf16 ang).
+
+    One dense elementwise pass (bandwidth-bound, ~free next to the gather
+    cost it eliminates). bf16 angle resolution is ~1.4 degrees at 2pi —
+    far inside the 10-degree orientation bins and 45-degree descriptor
+    bins it feeds.
+    """
+    dx, dy = grads[0], grads[1]
+    mag = jnp.sqrt(dx * dx + dy * dy).astype(jnp.bfloat16)
+    ang = (jnp.arctan2(dy, dx) % (2.0 * jnp.pi)).astype(jnp.bfloat16)
+    hi = jax.lax.bitcast_convert_type(mag, jnp.uint16).astype(jnp.uint32)
+    lo = jax.lax.bitcast_convert_type(ang, jnp.uint16).astype(jnp.uint32)
+    return (hi << 16) | lo
+
+
+def make_grad_sampler(grads: jnp.ndarray, mode: str):
+    """Returns sample(layer, sx, sy) -> (mag, ang) for window sampling.
+
+    mode "nearest_polar": one element gather per sample from the packed
+    polar map — the TPU-fast path (gather cost on v5e scales with the
+    index count: 4-corner bilinear measured 29ms vs 8ms nearest per 1M
+    samples), and also *closer to OpenCV SIFT*, which reads per-pixel
+    gradients without interpolation. mode "bilinear": 4-corner
+    interpolation of (dx, dy), kept for comparison/validation.
+    """
+    if mode == "nearest_polar":
+        packed = _pack_polar(grads)
+        L, H, W = packed.shape
+        flat = packed.reshape(-1)
+
+        def sample(lay, sx, sy):
+            ix = jnp.clip(jnp.round(sx).astype(jnp.int32), 0, W - 1)
+            iy = jnp.clip(jnp.round(sy).astype(jnp.int32), 0, H - 1)
+            idx = (lay * H + iy) * W + ix
+            v = flat[idx.reshape(-1)].reshape(idx.shape)
+            mag = jax.lax.bitcast_convert_type(
+                (v >> 16).astype(jnp.uint16), jnp.bfloat16
+            ).astype(jnp.float32)
+            ang = jax.lax.bitcast_convert_type(
+                (v & 0xFFFF).astype(jnp.uint16), jnp.bfloat16
+            ).astype(jnp.float32)
+            return mag, ang
+
+        return sample
+
+    def sample(lay, sx, sy):
+        dxy = _bilinear_gather(grads, lay, sx, sy)
+        dx, dy = dxy[0], dxy[1]
+        mag = jnp.sqrt(dx * dx + dy * dy)
+        ang = jnp.arctan2(dy, dx) % (2.0 * jnp.pi)
+        return mag, ang
+
+    return sample
+
+
+def _orientation(sample, layer, x, y, sigma_oct):
     """Dominant gradient orientation per keypoint.
 
-    grads: (2, L, H, W) = (dx, dy) maps for the octave's Gaussian layers.
+    sample: gradient sampler from make_grad_sampler.
     layer/x/y/sigma_oct: (K,) keypoint attrs in octave coords.
     Returns angle (K,) radians in [0, 2pi).
     """
@@ -220,10 +276,7 @@ def _orientation(grads: jnp.ndarray, layer, x, y, sigma_oct):
     sx = x[:, None] + rad[:, None] * gx_off.reshape(-1)[None, :]
     sy = y[:, None] + rad[:, None] * gy_off.reshape(-1)[None, :]
     lay = jnp.broadcast_to(layer[:, None], sx.shape)
-    dxy = _bilinear_gather(grads, lay, sx, sy)  # (2, K, g*g)
-    dx, dy = dxy[0], dxy[1]
-    mag = jnp.sqrt(dx * dx + dy * dy)
-    ang = jnp.arctan2(dy, dx) % (2.0 * jnp.pi)
+    mag, ang = sample(lay, sx, sy)
     # Gaussian weight, sigma_w = 1.5 * sigma (in normalized window units:
     # offsets are rad * [-1,1], so weight uses (offset/sigma)...).
     r2 = (gx_off.reshape(-1)[None, :] * rad[:, None]) ** 2 + (
@@ -279,13 +332,13 @@ def _orientation(grads: jnp.ndarray, layer, x, y, sigma_oct):
     return ang1, ang2, has2
 
 
-def _descriptor(grads: jnp.ndarray, layer, x, y, sigma_oct, angle, cfg: FrontendConfig):
+def _descriptor(sample, layer, x, y, sigma_oct, angle, cfg: FrontendConfig):
     """4x4 spatial x 8 orientation gradient histogram descriptor.
 
     Samples a rotated 16x16 grid (spacing 0.75*sigma) of gradients per
-    keypoint, soft-assigns into (4, 4, 8) bins with trilinear weights via
-    one-hot matmuls, Gaussian-weighted; L2 normalize -> clip 0.2 -> renorm.
-    Returns (K, 128).
+    keypoint (sample: from make_grad_sampler), soft-assigns into (4, 4, 8)
+    bins with trilinear weights via one-hot matmuls, Gaussian-weighted;
+    L2 normalize -> clip 0.2 -> renorm. Returns (K, 128).
     """
     d = cfg.descriptor_width  # 4
     nb = cfg.descriptor_bins  # 8
@@ -304,10 +357,8 @@ def _descriptor(grads: jnp.ndarray, layer, x, y, sigma_oct, angle, cfg: Frontend
     px = (ca * bx - sa * by) * hist_width[:, None] + x[:, None]
     py = (sa * bx + ca * by) * hist_width[:, None] + y[:, None]
     lay = jnp.broadcast_to(layer[:, None], px.shape)
-    dxy = _bilinear_gather(grads, lay, px, py)  # (2, K, g*g)
-    dx, dy = dxy[0], dxy[1]
-    mag = jnp.sqrt(dx * dx + dy * dy)
-    theta = (jnp.arctan2(dy, dx) - angle[:, None]) % (2.0 * jnp.pi)
+    mag, ang_s = sample(lay, px, py)  # (K, g*g) each
+    theta = (ang_s - angle[:, None]) % (2.0 * jnp.pi)
     # Gaussian weight over the window (sigma = d/2 bin units).
     r2 = bx * bx + by * by
     w = jnp.exp(-r2 / (0.5 * d * d)) * mag  # (K, g*g)
@@ -400,6 +451,7 @@ def detect_and_compute(image: jnp.ndarray, cfg: FrontendConfig) -> Features:
         gdx = 0.5 * (pad[:, 1:-1, 2:] - pad[:, 1:-1, :-2])
         gdy = 0.5 * (pad[:, 2:, 1:-1] - pad[:, :-2, 1:-1])
         grads = jnp.stack([gdx, gdy])  # (2, S, h, w)
+        sampler = make_grad_sampler(grads, cfg.grad_sampling)
 
         # Top-K candidates in this octave.
         Ko = budgets[o]
@@ -429,9 +481,9 @@ def detect_and_compute(image: jnp.ndarray, cfg: FrontendConfig) -> Features:
         )
         valid = valid & inside
 
-        ang1, ang2, has2 = _orientation(grads, lay, fx, fy, sigma_oct)
-        desc1 = _descriptor(grads, lay, fx, fy, sigma_oct, ang1, cfg)
-        desc2 = _descriptor(grads, lay, fx, fy, sigma_oct, ang2, cfg)
+        ang1, ang2, has2 = _orientation(sampler, lay, fx, fy, sigma_oct)
+        desc1 = _descriptor(sampler, lay, fx, fy, sigma_oct, ang1, cfg)
+        desc2 = _descriptor(sampler, lay, fx, fy, sigma_oct, ang2, cfg)
 
         scale_to_input = first_scale * (2.0**o)
         xy = jnp.stack([fx, fy], axis=-1) * scale_to_input

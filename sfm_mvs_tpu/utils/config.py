@@ -34,6 +34,14 @@ class FrontendConfig:
     max_features: int = 4096  # fixed capacity per image (top-K by response)
     descriptor_width: int = 4  # 4x4 spatial bins
     descriptor_bins: int = 8  # orientation bins -> 128-d descriptor
+    # Gradient sampling for orientation/descriptor windows.
+    # "nearest_polar": ONE element gather per sample from a u32-packed
+    #   (bf16 magnitude | bf16 angle) polar-gradient map — matches OpenCV
+    #   SIFT's per-pixel (uninterpolated) gradient use and is ~4x faster
+    #   on TPU, where gather cost scales with the index count (measured
+    #   29ms -> 8ms per 1M samples on v5e).
+    # "bilinear": 4-corner bilinear interpolation of (dx, dy) maps.
+    grad_sampling: str = "nearest_polar"
     # Matching
     use_pallas_matcher: bool = False  # fused VMEM-streaming 2-NN kernel
     lowe_ratio: float = 0.70  # sfm.py:264

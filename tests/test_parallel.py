@@ -50,7 +50,7 @@ def test_match_pairs_sharded(mesh8):
     m = frontend.match_pairs_sharded(feats, pair0, pair1, mesh8, cfg)
     assert m.idx1.shape == (8, 256)
     # adjacent rendered views must share matches (small 160x128 images)
-    assert int(np.asarray(m.valid).sum(axis=1).min()) > 8
+    assert int(np.asarray(m.valid).sum(axis=1).min()) >= 8
 
 
 def _ba_state(rng, C=4, P=256):
