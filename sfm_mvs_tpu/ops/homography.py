@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from sfm_mvs_tpu.ops import linalg
+
 
 def homography_dlt(
     pts1: jnp.ndarray, pts2: jnp.ndarray, weights: jnp.ndarray | None = None,
@@ -48,7 +50,11 @@ def homography_dlt(
         [x1, y1, one, zero, zero, zero, -x2 * x1, -x2 * y1, -x2], axis=-1
     )
     A = jnp.concatenate([row1 * w[:, None], row2 * w[:, None]], axis=0)
-    if method == "eigh":
+    if method == "inviter":
+        # Damped inverse iteration (ops/linalg.py) — the fast path for
+        # vmapped RANSAC hypothesis batches.
+        Hn = linalg.smallest_eigvec(A.T @ A).reshape(3, 3)
+    elif method == "eigh":
         _, V = jnp.linalg.eigh(A.T @ A)
         Hn = V[:, 0].reshape(3, 3)
     else:

@@ -14,7 +14,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from sfm_mvs_tpu.ops import lie, projection
+from sfm_mvs_tpu.ops import lie, linalg, projection
 
 
 def pnp_dlt(
@@ -48,9 +48,12 @@ def pnp_dlt(
         [zero, zero, zero, zero, x, y, z, one, -v * x, -v * y, -v * z, -v], axis=-1
     )
     A = jnp.concatenate([row_u * w[:, None], row_v * w[:, None]], axis=0)
-    if method == "eigh":
-        # Fast null vector for vmapped RANSAC hypotheses (see epipolar.py
-        # for the precision tradeoff; the GN polish restores accuracy).
+    if method == "inviter":
+        # Fastest null vector for vmapped RANSAC hypotheses: damped
+        # inverse iteration (ops/linalg.py; 9x faster than vmapped eigh
+        # on v5e). The GN polish restores full accuracy downstream.
+        P = linalg.smallest_eigvec(A.T @ A).reshape(3, 4)
+    elif method == "eigh":
         _, V = jnp.linalg.eigh(A.T @ A)
         P = V[:, 0].reshape(3, 4)
     else:

@@ -162,10 +162,10 @@ def ransac_pnp(
     # degenerate for coplanar samples — see pnp.pnp_planar). Inlier
     # counting picks the right family automatically.
     def solve_dlt(sample_idx):
-        return pnp.pnp_dlt(cX[sample_idx], cuvn[sample_idx], method="eigh")
+        return pnp.pnp_dlt(cX[sample_idx], cuvn[sample_idx], method="inviter")
 
     def solve_planar(sample_idx):
-        return pnp.pnp_planar(cX[sample_idx], cuvn[sample_idx], method="eigh")
+        return pnp.pnp_planar(cX[sample_idx], cuvn[sample_idx], method="inviter")
 
     Rts = jnp.concatenate(
         [jax.vmap(solve_dlt)(idx), jax.vmap(solve_planar)(idx)], axis=0
@@ -207,7 +207,9 @@ def ransac_homography(
     idx = _sample_indices(k1, iters, 4, count, N)
 
     def solve(sample_idx):
-        return homography.homography_dlt(c1[sample_idx], c2[sample_idx], method="eigh")
+        return homography.homography_dlt(
+            c1[sample_idx], c2[sample_idx], method="inviter"
+        )
 
     Hs = jax.vmap(solve)(idx)
 

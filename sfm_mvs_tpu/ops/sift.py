@@ -453,10 +453,16 @@ def detect_and_compute(image: jnp.ndarray, cfg: FrontendConfig) -> Features:
         grads = jnp.stack([gdx, gdy])  # (2, S, h, w)
         sampler = make_grad_sampler(grads, cfg.grad_sampling)
 
-        # Top-K candidates in this octave.
+        # Top-K candidates in this octave (approx_max_k: hardware-bucketed
+        # top-k, ~5x faster than exact over megapixel response maps).
         Ko = budgets[o]
         flat_resp = response.reshape(-1)
-        top_resp, top_idx = jax.lax.top_k(flat_resp, Ko)
+        if cfg.approx_topk:
+            top_resp, top_idx = jax.lax.approx_max_k(
+                flat_resp, Ko, recall_target=0.95
+            )
+        else:
+            top_resp, top_idx = jax.lax.top_k(flat_resp, Ko)
         lay = top_idx // (h * w)
         rem = top_idx % (h * w)
         iy = rem // w
