@@ -125,6 +125,7 @@ def register_frame(
     pnp_res = ransac.ransac_pnp(
         k1, X_tracked, uv_new, uv_new_norm, tracked, K,
         threshold_px=rc.pnp_threshold_px, iters=rc.pnp_iters,
+        use_p3p=rc.pnp_use_p3p,
     )
     pose_new = pnp_res.model
     state, cam_new = map_store.append_camera(state, pose_new)

@@ -76,6 +76,7 @@ def klt_step(
     res = ransac.ransac_pnp(
         k1, X, pos, uvn, has3d, K,
         threshold_px=rc.pnp_threshold_px, iters=rc.pnp_iters,
+        use_p3p=rc.pnp_use_p3p,
     )
     pose_new = res.model
     m, cam_new = map_store.append_camera(m, pose_new)

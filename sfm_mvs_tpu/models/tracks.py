@@ -165,6 +165,7 @@ class GlobalSfM:
                 ki, X, uv_i, uvn_i, pvalid & tvalid[i], K,
                 threshold_px=cfg.ransac.pnp_threshold_px,
                 iters=cfg.ransac.pnp_iters,
+                use_p3p=cfg.ransac.pnp_use_p3p,
             )
             poses.append(res.model)
             self.stats.append(

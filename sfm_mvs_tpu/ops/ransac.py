@@ -19,7 +19,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from sfm_mvs_tpu.ops import epipolar, five_point, homography, masking, pnp
+from sfm_mvs_tpu.ops import epipolar, five_point, homography, masking, p3p, pnp
 
 
 class RansacResult(NamedTuple):
@@ -135,7 +135,7 @@ def ransac_essential(
     return RansacResult(E, inliers, jnp.sum(inliers))
 
 
-@partial(jax.jit, static_argnames=("iters", "refine_iters"))
+@partial(jax.jit, static_argnames=("iters", "refine_iters", "use_p3p"))
 def ransac_pnp(
     key,
     X: jnp.ndarray,
@@ -146,21 +146,24 @@ def ransac_pnp(
     threshold_px: float = 4.0,
     iters: int = 1024,
     refine_iters: int = 10,
+    use_p3p: bool = True,
 ) -> RansacResult:
-    """Pose via vmapped 6-point DLT-PnP RANSAC + Gauss-Newton polish.
+    """Pose via vmapped multi-family minimal-solver RANSAC + GN polish.
 
     X: (N, 3) world points; uv_pix: (N, 2) pixels; uv_norm: K^-1 pixels.
     Returns model = Rt (3, 4).
     """
     N = X.shape[0]
     count, cmask, cX, cuvn = masking.compact(mask, X, uv_norm)
-    k1, _ = jax.random.split(key)
+    k1, k2 = jax.random.split(key)
     idx = _sample_indices(k1, iters, 6, count, N)
 
-    # Two hypothesis families per sample: the general 12-dof DLT and the
-    # planar homography-decomposition solver (the DLT is structurally
-    # degenerate for coplanar samples — see pnp.pnp_planar). Inlier
-    # counting picks the right family automatically.
+    # Three hypothesis families per batch, scored jointly; inlier counting
+    # picks the winner:
+    #  - 6-point 12-dof DLT (general; degenerate for coplanar samples),
+    #  - planar homography decomposition (exact for coplanar samples),
+    #  - 3-point Grunert P3P (w^3 vs w^6 all-inlier sample odds — dominates
+    #    on contaminated correspondence sets; up to 6 pose slots/sample).
     def solve_dlt(sample_idx):
         return pnp.pnp_dlt(cX[sample_idx], cuvn[sample_idx], method="inviter")
 
@@ -170,12 +173,25 @@ def ransac_pnp(
     Rts = jnp.concatenate(
         [jax.vmap(solve_dlt)(idx), jax.vmap(solve_planar)(idx)], axis=0
     )  # (2*iters, 3, 4)
+    hyp_valid = jnp.ones(Rts.shape[0], bool)
+
+    if use_p3p:
+        idx3 = _sample_indices(k2, max(iters // 4, 1), 3, count, N)
+
+        def solve_p3p(sample_idx):
+            return p3p.p3p_grunert(cX[sample_idx], cuvn[sample_idx])
+
+        Rts3, valid3 = jax.vmap(solve_p3p)(idx3)  # (S, 6, 3, 4), (S, 6)
+        Rts = jnp.concatenate([Rts, Rts3.reshape(-1, 3, 4)], axis=0)
+        hyp_valid = jnp.concatenate([hyp_valid, valid3.reshape(-1)], axis=0)
 
     def score(Rt):
         return pnp.pnp_residual_pixels(Rt, X, uv_pix, K)
 
     residuals = jax.vmap(score)(Rts)
-    best, inl, counts = _select_and_count(residuals, mask, threshold_px)
+    inl = (residuals < threshold_px) & mask[None, :]
+    counts = jnp.where(hyp_valid, jnp.sum(inl, axis=1), -1)
+    best = jnp.argmax(counts)
     Rt = Rts[best]
     inliers = inl[best]
 

@@ -71,6 +71,10 @@ class RansacConfig:
     essential_threshold_px: float = 2.0
     pnp_iters: int = 1024
     pnp_threshold_px: float = 4.0
+    # Add a 3-point Grunert P3P hypothesis family (ops/p3p.py) alongside
+    # the 6-point DLT + planar solvers: all-inlier sample odds are w^3 vs
+    # w^6, which dominates on contaminated 2D-3D correspondence sets.
+    pnp_use_p3p: bool = True
     # Degenerate-frame guard (the domain's failure detection, SURVEY.md §5;
     # the germ exists in the reference at test.py:254-255 "Less features!").
     # A frame whose PnP lands below this many inliers is REJECTED: the map

@@ -102,3 +102,23 @@ def test_ransac_respects_input_mask(rng):
         jax.random.PRNGKey(3), n0, n1, mask, K[0, 0], iters=256
     )
     assert not np.asarray(res.inliers)[200:].any()
+
+
+def test_ransac_pnp_p3p_heavy_outliers(rng):
+    """75% outliers with few iters: the P3P family (w^3 sample odds) must
+    still land the pose where 6-point samples (w^6 ~ 2e-4) rarely can."""
+    scene = make_scene(num_points=512, num_cameras=2, seed=7)
+    uv, _ = scene.project(1)
+    uv_c, out_idx = _corrupt(rng, uv, 0.75)
+    K = jnp.asarray(scene.K)
+    uv_c = uv_c.astype(np.float32)
+    uvn = projection.normalize_points(jnp.asarray(uv_c), K)
+    mask = jnp.ones(512, dtype=bool)
+    res = ransac.ransac_pnp(
+        jax.random.PRNGKey(3), jnp.asarray(scene.points), jnp.asarray(uv_c),
+        uvn, mask, K, threshold_px=3.0, iters=256, use_p3p=True,
+    )
+    Rt = np.asarray(res.model)
+    np.testing.assert_allclose(Rt[:, :3], scene.Rt[1][:, :3], atol=1e-3)
+    np.testing.assert_allclose(Rt[:, 3], scene.Rt[1][:, 3], atol=1e-2)
+    assert not np.asarray(res.inliers)[out_idx].any()
