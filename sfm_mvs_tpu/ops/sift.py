@@ -219,6 +219,32 @@ def _pack_polar(grads: jnp.ndarray) -> jnp.ndarray:
     return (hi << 16) | lo
 
 
+def _unpack_polar(v: jnp.ndarray):
+    """uint32 (bf16 mag | bf16 ang) -> (mag, ang) float32."""
+    mag = jax.lax.bitcast_convert_type(
+        (v >> 16).astype(jnp.uint16), jnp.bfloat16
+    ).astype(jnp.float32)
+    ang = jax.lax.bitcast_convert_type(
+        (v & 0xFFFF).astype(jnp.uint16), jnp.bfloat16
+    ).astype(jnp.float32)
+    return mag, ang
+
+
+def _polar_sampler(packed: jnp.ndarray):
+    """sample(layer, sx, sy) over one octave's packed (L, H, W) polar map."""
+    L, H, W = packed.shape
+    flat = packed.reshape(-1)
+
+    def sample(lay, sx, sy):
+        ix = jnp.clip(jnp.round(sx).astype(jnp.int32), 0, W - 1)
+        iy = jnp.clip(jnp.round(sy).astype(jnp.int32), 0, H - 1)
+        idx = (lay * H + iy) * W + ix
+        v = flat[idx.reshape(-1)].reshape(idx.shape)
+        return _unpack_polar(v)
+
+    return sample
+
+
 def make_grad_sampler(grads: jnp.ndarray, mode: str):
     """Returns sample(layer, sx, sy) -> (mag, ang) for window sampling.
 
@@ -230,24 +256,7 @@ def make_grad_sampler(grads: jnp.ndarray, mode: str):
     interpolation of (dx, dy), kept for comparison/validation.
     """
     if mode == "nearest_polar":
-        packed = _pack_polar(grads)
-        L, H, W = packed.shape
-        flat = packed.reshape(-1)
-
-        def sample(lay, sx, sy):
-            ix = jnp.clip(jnp.round(sx).astype(jnp.int32), 0, W - 1)
-            iy = jnp.clip(jnp.round(sy).astype(jnp.int32), 0, H - 1)
-            idx = (lay * H + iy) * W + ix
-            v = flat[idx.reshape(-1)].reshape(idx.shape)
-            mag = jax.lax.bitcast_convert_type(
-                (v >> 16).astype(jnp.uint16), jnp.bfloat16
-            ).astype(jnp.float32)
-            ang = jax.lax.bitcast_convert_type(
-                (v & 0xFFFF).astype(jnp.uint16), jnp.bfloat16
-            ).astype(jnp.float32)
-            return mag, ang
-
-        return sample
+        return _polar_sampler(_pack_polar(grads))
 
     def sample(lay, sx, sy):
         dxy = _bilinear_gather(grads, lay, sx, sy)
@@ -424,14 +433,27 @@ def detect_and_compute(image: jnp.ndarray, cfg: FrontendConfig) -> Features:
 
     image: (H, W) float32 grayscale in [0, 1]. Returns fixed-capacity
     Features (cfg.max_features slots) in input-image pixel coordinates.
+
+    On the "nearest_polar" sampling path, descriptor computation is
+    DEFERRED until after the global top-K merge: per-octave candidates
+    (sum of octave budgets, x2 for secondary orientations — ~2.7x
+    max_features) get orientations only, then the K winners sample their
+    descriptor windows from one concatenated flat polar-gradient buffer
+    spanning all octaves (per-keypoint base/stride arithmetic; gather cost
+    on TPU scales with the index count, so descriptor sampling cost drops
+    by the same ~2.7x).
     """
     S = cfg.scales_per_octave
     base = pyramid.upsample2(image) if cfg.upsample_input else image
     first_scale = 0.5 if cfg.upsample_input else 1.0  # input px per base px
     assumed = 1.0 if cfg.upsample_input else 0.5  # doubled image doubles blur
+    deferred = cfg.grad_sampling == "nearest_polar"
 
     budgets = _octave_budgets(cfg)
     per_octave = []
+    metas = []  # deferred path: per-candidate metadata, descriptors later
+    flat_parts = []  # deferred path: flattened per-octave polar maps
+    geoms = []  # deferred path: (h, w) per octave (static)
     cur = base
     for o in range(cfg.num_octaves):
         # Octave 0 starts from the (possibly doubled) input with its camera
@@ -451,7 +473,13 @@ def detect_and_compute(image: jnp.ndarray, cfg: FrontendConfig) -> Features:
         gdx = 0.5 * (pad[:, 1:-1, 2:] - pad[:, 1:-1, :-2])
         gdy = 0.5 * (pad[:, 2:, 1:-1] - pad[:, :-2, 1:-1])
         grads = jnp.stack([gdx, gdy])  # (2, S, h, w)
-        sampler = make_grad_sampler(grads, cfg.grad_sampling)
+        if deferred:
+            packed = _pack_polar(grads)  # (S, h, w) uint32
+            flat_parts.append(packed.reshape(-1))
+            geoms.append((h, w))
+            sampler = _polar_sampler(packed)
+        else:
+            sampler = make_grad_sampler(grads, cfg.grad_sampling)
 
         # Top-K candidates in this octave (approx_max_k: hardware-bucketed
         # top-k, ~5x faster than exact over megapixel response maps).
@@ -488,46 +516,93 @@ def detect_and_compute(image: jnp.ndarray, cfg: FrontendConfig) -> Features:
         valid = valid & inside
 
         ang1, ang2, has2 = _orientation(sampler, lay, fx, fy, sigma_oct)
-        desc1 = _descriptor(sampler, lay, fx, fy, sigma_oct, ang1, cfg)
-        desc2 = _descriptor(sampler, lay, fx, fy, sigma_oct, ang2, cfg)
+        valid2 = valid & has2  # secondary-orientation duplicates (OpenCV
+        # keeps peaks >=0.8x main as extra keypoints — so do we; response
+        # infinitesimally down-weighted so primaries win top-K ties)
 
-        scale_to_input = first_scale * (2.0**o)
-        xy = jnp.stack([fx, fy], axis=-1) * scale_to_input
-        sc = sigma_oct * scale_to_input
-        per_octave.append(
-            Features(
-                xy=xy, scale=sc, angle=ang1,
-                response=jnp.where(valid, top_resp, 0.0),
-                desc=desc1, valid=valid,
+        if deferred:
+            oct_ids = jnp.full(lay.shape, o, jnp.int32)
+            for ang, val, damp in ((ang1, valid, 1.0), (ang2, valid2, 0.999999)):
+                metas.append(dict(
+                    oct=oct_ids, lay=lay, fx=fx, fy=fy, sigma=sigma_oct,
+                    angle=ang, valid=val,
+                    response=jnp.where(val, top_resp * damp, 0.0),
+                ))
+        else:
+            desc1 = _descriptor(sampler, lay, fx, fy, sigma_oct, ang1, cfg)
+            desc2 = _descriptor(sampler, lay, fx, fy, sigma_oct, ang2, cfg)
+            scale_to_input = first_scale * (2.0**o)
+            xy = jnp.stack([fx, fy], axis=-1) * scale_to_input
+            sc = sigma_oct * scale_to_input
+            per_octave.append(
+                Features(
+                    xy=xy, scale=sc, angle=ang1,
+                    response=jnp.where(valid, top_resp, 0.0),
+                    desc=desc1, valid=valid,
+                )
             )
-        )
-        # Duplicate keypoints for strong secondary orientation peaks
-        # (>=0.8x main), like OpenCV — materially improves match density
-        # on rotationally ambiguous texture. Response infinitesimally
-        # down-weighted so primaries win global top-K ties.
-        valid2 = valid & has2
-        per_octave.append(
-            Features(
-                xy=xy, scale=sc, angle=ang2,
-                response=jnp.where(valid2, top_resp * 0.999999, 0.0),
-                desc=desc2, valid=valid2,
+            per_octave.append(
+                Features(
+                    xy=xy, scale=sc, angle=ang2,
+                    response=jnp.where(valid2, top_resp * 0.999999, 0.0),
+                    desc=desc2, valid=valid2,
+                )
             )
-        )
         cur = pyramid.subsample2(gauss[S])  # sigma0*2 image -> next octave
 
-    # Global top-K merge across octaves.
-    all_feats = jax.tree_util.tree_map(
-        lambda *xs: jnp.concatenate(xs, axis=0), *per_octave
-    )
     Kf = cfg.max_features
-    top_resp, order = jax.lax.top_k(all_feats.response, Kf)
+    if not deferred:
+        # Global top-K merge across octaves.
+        all_feats = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *per_octave
+        )
+        top_resp, order = jax.lax.top_k(all_feats.response, Kf)
+        return Features(
+            xy=all_feats.xy[order],
+            scale=all_feats.scale[order],
+            angle=all_feats.angle[order],
+            response=top_resp,
+            desc=all_feats.desc[order],
+            valid=all_feats.valid[order] & (top_resp > 0.0),
+        )
+
+    # Deferred path: select the K winners first, then compute descriptors
+    # once, sampling from one flat buffer spanning all octaves.
+    cat = lambda k: jnp.concatenate([m[k] for m in metas], axis=0)
+    top_resp, order = jax.lax.top_k(cat("response"), Kf)
+    oct_s = cat("oct")[order]
+    lay_s = cat("lay")[order]
+    fx_s = cat("fx")[order]
+    fy_s = cat("fy")[order]
+    sig_s = cat("sigma")[order]
+    ang_s = cat("angle")[order]
+    val_s = cat("valid")[order] & (top_resp > 0.0)
+
+    # Static per-octave geometry -> per-keypoint base/stride arithmetic.
+    sizes = [S * hh * ww for hh, ww in geoms]
+    bases = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int32)
+    big = jnp.concatenate(flat_parts)
+    hk = jnp.asarray(np.array([g[0] for g in geoms], np.int32))[oct_s]
+    wk = jnp.asarray(np.array([g[1] for g in geoms], np.int32))[oct_s]
+    plane = jnp.asarray(bases)[oct_s] + lay_s * hk * wk  # (K,)
+
+    def sample(_lay, sx, sy):
+        # sx, sy: (K, S_win) octave-frame coords; per-keypoint clip bounds.
+        ix = jnp.clip(jnp.round(sx).astype(jnp.int32), 0, (wk - 1)[:, None])
+        iy = jnp.clip(jnp.round(sy).astype(jnp.int32), 0, (hk - 1)[:, None])
+        idx = plane[:, None] + iy * wk[:, None] + ix
+        v = big[idx.reshape(-1)].reshape(idx.shape)
+        return _unpack_polar(v)
+
+    desc = _descriptor(sample, plane, fx_s, fy_s, sig_s, ang_s, cfg)
+    stoi = (first_scale * jnp.exp2(oct_s.astype(jnp.float32)))
     return Features(
-        xy=all_feats.xy[order],
-        scale=all_feats.scale[order],
-        angle=all_feats.angle[order],
+        xy=jnp.stack([fx_s, fy_s], axis=-1) * stoi[:, None],
+        scale=sig_s * stoi,
+        angle=ang_s,
         response=top_resp,
-        desc=all_feats.desc[order],
-        valid=all_feats.valid[order] & (top_resp > 0.0),
+        desc=desc,
+        valid=val_s,
     )
 
 
