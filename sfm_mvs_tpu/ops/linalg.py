@@ -35,9 +35,25 @@ def smallest_eigvec(G: jnp.ndarray, iters: int = 3) -> jnp.ndarray:
     D = G.shape[-1]
     lam = 1e-5 * (jnp.trace(G, axis1=-2, axis2=-1) / D)[..., None, None]
     L = jnp.linalg.cholesky(G + lam * jnp.eye(D, dtype=G.dtype))
-    z = jnp.ones(G.shape[:-2] + (D,), G.dtype)
-    for _ in range(iters):
-        z = jax.scipy.linalg.cho_solve((L, True), z[..., None])[..., 0]
-        z = z / jnp.maximum(
-            jnp.linalg.norm(z, axis=-1, keepdims=True), 1e-30)
-    return z
+
+    def iterate(z):
+        for _ in range(iters):
+            z = jax.scipy.linalg.cho_solve((L, True), z[..., None])[..., 0]
+            z = z / jnp.maximum(
+                jnp.linalg.norm(z, axis=-1, keepdims=True), 1e-30)
+        return z
+
+    # Two deterministic start vectors: a fixed start can be (near-)
+    # orthogonal to the null vector for symmetric point configurations —
+    # and systematically so across the whole vmapped batch, since every
+    # sample would share it. Run inverse iteration from both and keep the
+    # one with the smaller Rayleigh quotient z^T G z (the better
+    # approximation of the smallest eigenvector).
+    ones = jnp.ones(G.shape[:-2] + (D,), G.dtype)
+    alt = jnp.where(jnp.arange(D) % 2 == 0, 1.0, -1.0).astype(G.dtype)
+    alt = jnp.broadcast_to(alt, G.shape[:-2] + (D,))
+    za = iterate(ones)
+    zb = iterate(alt)
+    ray_a = jnp.einsum("...i,...ij,...j->...", za, G, za)
+    ray_b = jnp.einsum("...i,...ij,...j->...", zb, G, zb)
+    return jnp.where((ray_a <= ray_b)[..., None], za, zb)

@@ -116,19 +116,25 @@ def ransac_essential(
         counts = jnp.where(hyp_valid, counts, -1)
     best = jnp.argmax(counts)
     E = Es[best]
-    inliers = inl[best]
+    # If every hypothesis was invalid (possible with the gated 5pt solver),
+    # argmax picked an arbitrary slot: report zero inliers so callers'
+    # rejection guards trigger, and skip the refit (an all-zero-weight
+    # 8-point refit is an SVD of the zero matrix -> NaN E).
+    any_valid = counts[best] >= 0
+    inliers = inl[best] & any_valid
 
     # Inlier-weighted refits (all correspondences, weights = inlier mask).
-    # Guarded: the 8-point refit is degenerate on planar inlier sets (rank-
-    # deficient design matrix), which matters when the 5pt solver won on a
-    # planar scene — keep a refit only if it does not lose inliers.
+    # Guarded STRICTLY: the 8-point refit is degenerate on planar inlier
+    # sets (>=3-dim null space of the design matrix), where a wrong-family
+    # E can fit every planar inlier and TIE the count — a tie must keep
+    # the minimal-solver E, so only a strict inlier gain accepts the refit.
     def refit(_, carry):
         E, inliers = carry
         w = inliers.astype(norm0.dtype)
         E2 = epipolar.essential_eight_point(norm0, norm1, w)
         res2 = epipolar.epipolar_residual_pixels(E2, norm0, norm1, focal)
         inl2 = (res2 < threshold_px) & mask
-        better = jnp.sum(inl2) >= jnp.sum(inliers)
+        better = jnp.sum(inl2) > jnp.sum(inliers)
         return (jnp.where(better, E2, E), jnp.where(better, inl2, inliers))
 
     E, inliers = jax.lax.fori_loop(0, refit_rounds, refit, (E, inliers))

@@ -46,6 +46,10 @@ class FrontendConfig:
     # bucketed top-k: measured 3.6ms vs 17.3ms exact over the 7.5M-element
     # octave-0 response map, ~98% recall of kept keypoints — the ~2% lost
     # are random bin collisions, immaterial to downstream matching).
+    # CAVEAT: approx_max_k falls back to EXACT top_k on CPU, so the CPU
+    # test suite never exercises the approximate path; recall at new image
+    # sizes/budgets must be checked on TPU (benchmarks/quality.py runs the
+    # matrix with approx_topk both on and off for this).
     approx_topk: bool = True
     # Matching
     use_pallas_matcher: bool = False  # fused VMEM-streaming 2-NN kernel

