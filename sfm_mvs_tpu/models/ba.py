@@ -68,6 +68,15 @@ class BAProblem(NamedTuple):
     obs_mask: jnp.ndarray  # (P, C)
     K: jnp.ndarray  # (3, 3)
     frozen: jnp.ndarray  # (C,) bool — cameras excluded from optimization
+    # Shared intrinsics block [focal_scale, k1, k2] — the notebook
+    # prototype's camera model (rvec, t, f, k1, k2; checkpoint cells 3-7)
+    # with f and radial distortion SHARED across cameras (one physical
+    # camera took the sequence). Identity is [1, 0, 0]; optimized only
+    # when run_ba(refine_intrinsics=True).
+    intr: jnp.ndarray  # (3,)
+
+
+_INTR_IDENTITY = (1.0, 0.0, 0.0)
 
 
 class BAStats(NamedTuple):
@@ -103,6 +112,7 @@ def problem_from_map(
         obs_mask=state.obs_mask,
         K=state.K,
         frozen=frozen,
+        intr=jnp.asarray(_INTR_IDENTITY, state.points.dtype),
     )
 
 
@@ -117,30 +127,64 @@ def write_back_to_map(state: MapState, prob: BAProblem) -> MapState:
 # ---------------------------------------------------------------------------
 
 
-def _residual_one(cam6: jnp.ndarray, X: jnp.ndarray, uv: jnp.ndarray, K: jnp.ndarray):
-    """Reprojection residual of one observation. (6,), (3,), (2,) -> (2,)."""
+def _residual_one(
+    cam6: jnp.ndarray, X: jnp.ndarray, uv: jnp.ndarray, K: jnp.ndarray,
+    intr: jnp.ndarray,
+):
+    """Reprojection residual of one observation. (6,), (3,), (2,), (3,3),
+    (3,) -> (2,).
+
+    intr = [focal_scale s, k1, k2]: radial distortion on the normalized
+    coordinates, then the (focal-scaled) pinhole map — the notebook
+    prototype's `project` (checkpoint cell 3). At the identity [1, 0, 0]
+    this is exactly `pi(K [R|t] X)`.
+    """
     R = lie.so3_exp(cam6[:3])
     Xc = R @ X + cam6[3:]
     z = jnp.where(jnp.abs(Xc[2]) < 1e-9, 1e-9, Xc[2])
-    u = (K[0, 0] * Xc[0] + K[0, 1] * Xc[1]) / z + K[0, 2]
-    v = K[1, 1] * Xc[1] / z + K[1, 2]
+    x = Xc[0] / z
+    y = Xc[1] / z
+    s, k1, k2 = intr[0], intr[1], intr[2]
+    r2 = x * x + y * y
+    d = 1.0 + r2 * (k1 + r2 * k2)
+    u = s * d * (K[0, 0] * x + K[0, 1] * y) + K[0, 2]
+    v = s * d * K[1, 1] * y + K[1, 2]
     return jnp.stack([u, v]) - uv
 
 
 # vmap over cameras (axis c), then over points (axis p): (P, C, ...) outputs.
-_res_grid = jax.vmap(
-    jax.vmap(_residual_one, in_axes=(0, None, 0, None)),  # over C
-    in_axes=(None, 0, 0, None),  # over P
+_res_grid_i = jax.vmap(
+    jax.vmap(_residual_one, in_axes=(0, None, 0, None, None)),  # over C
+    in_axes=(None, 0, 0, None, None),  # over P
 )
+
+
+def _res_grid(cam_params, points, obs_uv, K, intr=None):
+    if intr is None:
+        intr = jnp.asarray(_INTR_IDENTITY, points.dtype)
+    return _res_grid_i(cam_params, points, obs_uv, K, intr)
+
+
 _res_jac_grid = jax.vmap(
     jax.vmap(
-        lambda c, X, uv, K: (
-            _residual_one(c, X, uv, K),
-            jax.jacfwd(_residual_one, argnums=(0, 1))(c, X, uv, K),
+        lambda c, X, uv, K, th: (
+            _residual_one(c, X, uv, K, th),
+            jax.jacfwd(_residual_one, argnums=(0, 1))(c, X, uv, K, th),
         ),
-        in_axes=(0, None, 0, None),
+        in_axes=(0, None, 0, None, None),
     ),
-    in_axes=(None, 0, 0, None),
+    in_axes=(None, 0, 0, None, None),
+)
+# Variant that also differentiates the shared intrinsics block.
+_res_jac_grid_intr = jax.vmap(
+    jax.vmap(
+        lambda c, X, uv, K, th: (
+            _residual_one(c, X, uv, K, th),
+            jax.jacfwd(_residual_one, argnums=(0, 1, 4))(c, X, uv, K, th),
+        ),
+        in_axes=(0, None, 0, None, None),
+    ),
+    in_axes=(None, 0, 0, None, None),
 )
 
 
@@ -160,7 +204,9 @@ def _cost(prob: BAProblem, axis_name: str | None = None) -> jnp.ndarray:
     partial sums are psum-reduced.
     """
     w = _weights(prob)
-    r = _res_grid(prob.cam_params, prob.points, prob.obs_uv, prob.K)  # (P, C, 2)
+    r = _res_grid(
+        prob.cam_params, prob.points, prob.obs_uv, prob.K, prob.intr
+    )  # (P, C, 2)
     num = jnp.sum(jnp.sum(r * r, axis=-1) * w)
     den = jnp.sum(w)
     if axis_name is not None:
@@ -207,20 +253,34 @@ def _inv3(M: jnp.ndarray) -> jnp.ndarray:
 
 
 def _lm_solve(prob: BAProblem, lam: jnp.ndarray, cg_iters: int,
-              axis_name: str | None = None, huber_delta: float = 0.0):
+              axis_name: str | None = None, huber_delta: float = 0.0,
+              refine_intrinsics: bool = False):
     """Solve the damped normal equations via Schur + PCG.
 
-    Returns (delta_cam (C,6), delta_pts (P,3)). With `axis_name`, the
-    point axis holds this device's shard; per-camera reductions (axis p
-    contractions) are psum'd while per-point quantities stay local.
+    Returns (delta_cam (C,6), delta_pts (P,3), delta_intr (3,)). With
+    `axis_name`, the point axis holds this device's shard; per-camera
+    reductions (axis p contractions) are psum'd while per-point
+    quantities stay local.
+
+    With `refine_intrinsics`, the shared [f_scale, k1, k2] block joins
+    the reduced camera system: after Schur-eliminating the point blocks,
+    the CG unknown is (delta_cam (C,6), delta_intr (3,)) — the intrinsics
+    block couples to every camera and every point, but it is tiny, so the
+    extra terms are three more broadcast-reduce contractions on the grid.
     """
     def allreduce(x):
         return jax.lax.psum(x, axis_name) if axis_name is not None else x
 
     w = _weights(prob)  # (P, C)
-    r, (A, B) = _res_jac_grid(
-        prob.cam_params, prob.points, prob.obs_uv, prob.K
-    )  # r (P,C,2), A (P,C,2,6), B (P,C,2,3)
+    if refine_intrinsics:
+        r, (A, B, T) = _res_jac_grid_intr(
+            prob.cam_params, prob.points, prob.obs_uv, prob.K, prob.intr
+        )  # + T (P,C,2,3) — d r / d [s, k1, k2]
+    else:
+        r, (A, B) = _res_jac_grid(
+            prob.cam_params, prob.points, prob.obs_uv, prob.K, prob.intr
+        )  # r (P,C,2), A (P,C,2,6), B (P,C,2,3)
+        T = None
     if huber_delta > 0.0:
         # IRLS Huber weights: w_h = min(1, delta/|r|) applied as sqrt to
         # residuals AND Jacobians so the normal equations solve the
@@ -233,6 +293,8 @@ def _lm_solve(prob: BAProblem, lam: jnp.ndarray, cg_iters: int,
     A = A * wmask * (~prob.frozen)[None, :, None, None].astype(A.dtype)
     B = B * wmask
     r = r * w[..., None]
+    if refine_intrinsics:
+        T = T * wmask  # intrinsics are shared: frozen cams still constrain
 
     # Hessian blocks. The contraction dims are tiny (i=2 residual rows), so
     # every per-cell product is written as broadcasted elementwise math +
@@ -266,51 +328,88 @@ def _lm_solve(prob: BAProblem, lam: jnp.ndarray, cg_iters: int,
     U = jnp.where(cam_active[:, None, None], U, eye6[None])
     V_inv = _inv3(V)
 
+    # Shared-intrinsics blocks (all tiny; same broadcast-reduce style).
+    if refine_intrinsics:
+        U_ct = allreduce(jnp.sum(contract_i(A, T), axis=0))  # (C, 6, 3)
+        U_tt = allreduce(jnp.sum(contract_i(T, T), axis=(0, 1)))  # (3, 3)
+        Z = jnp.sum(contract_i(B, T), axis=1)  # (P, 3, 3) — local
+        rT = T[:, :, 0, :] * r[:, :, 0, None] + T[:, :, 1, :] * r[:, :, 1, None]
+        g_t = -allreduce(jnp.sum(rT, axis=(0, 1)))  # (3,)
+        U_tt = U_tt + lam * jnp.diag(jnp.diagonal(U_tt)) + 1e-6 * eye3
+
     # Schur RHS: b = g_c - sum_p W_{pc}^T' V_p^-1 g_p.
     Vg = jnp.sum(V_inv * g_p[:, None, :], axis=-1)  # (P, 3)
     b = g_c - allreduce(jnp.sum(W * Vg[:, None, None, :], axis=(0, 3)))  # (C, 6)
+    if refine_intrinsics:
+        b_t = g_t - allreduce(jnp.sum(Z * Vg[:, :, None], axis=(0, 1)))  # (3,)
+    else:
+        b_t = jnp.zeros((3,), b.dtype)
 
-    def S_apply(x):  # x: (C, 6) -> (C, 6), matrix-free S @ x
-        Ux = jnp.sum(U * x[:, None, :], axis=-1)
-        y = jnp.sum(W * x[None, :, :, None], axis=(1, 2))  # (P, 3) local
+    def S_apply(x):  # x: ((C,6), (3,)) -> same, matrix-free S @ x
+        xc, xt = x
+        Ux = jnp.sum(U * xc[:, None, :], axis=-1)
+        y = jnp.sum(W * xc[None, :, :, None], axis=(1, 2))  # (P, 3) local
+        if refine_intrinsics:
+            Ux = Ux + jnp.sum(U_ct * xt[None, None, :], axis=-1)
+            y = y + jnp.sum(Z * xt[None, None, :], axis=-1)
         z = jnp.sum(V_inv * y[:, None, :], axis=-1)
         back = allreduce(jnp.sum(W * z[:, None, None, :], axis=(0, 3)))  # (C, 6)
-        return Ux - back
+        if refine_intrinsics:
+            St = (
+                jnp.sum(U_ct * xc[:, :, None], axis=(0, 1))
+                + U_tt @ xt
+                - allreduce(jnp.sum(Z * z[:, :, None], axis=(0, 1)))
+            )
+        else:
+            St = jnp.zeros((3,), Ux.dtype)
+        return (Ux - back, St)
 
-    # Block-Jacobi preconditioner: U_c^{-1} (6x6 solve per camera).
+    # Block-Jacobi preconditioner: U_c^{-1} (6x6) per camera + U_tt^{-1}.
     U_inv = jnp.linalg.inv(U + 1e-5 * eye6)
+    if refine_intrinsics:
+        U_tt_inv = jnp.linalg.inv(U_tt + 1e-5 * eye3)
+    else:
+        U_tt_inv = eye3
 
     def precond(x):
-        return jnp.sum(U_inv * x[:, None, :], axis=-1)
+        xc, xt = x
+        pc = jnp.sum(U_inv * xc[:, None, :], axis=-1)
+        pt = U_tt_inv @ xt if refine_intrinsics else xt
+        return (pc, pt)
 
     def dot(a, b_):
-        return jnp.sum(a * b_)
+        return jnp.sum(a[0] * b_[0]) + jnp.sum(a[1] * b_[1])
 
-    x0 = jnp.zeros_like(b)
-    r0 = b - S_apply(x0)
+    x0 = (jnp.zeros_like(b), jnp.zeros_like(b_t))
+    r0 = (b, b_t)  # S @ 0 = 0
     z0 = precond(r0)
     p0 = z0
+
+    def axpy(a, x, y):  # y + a*x on the (cam, intr) pair
+        return (y[0] + a * x[0], y[1] + a * x[1])
 
     def cg_step(_, carry):
         x, rr, z, p = carry
         Sp = S_apply(p)
         denom = dot(p, Sp)
         alpha = jnp.where(jnp.abs(denom) < 1e-20, 0.0, dot(rr, z) / denom)
-        x_new = x + alpha * p
-        r_new = rr - alpha * Sp
+        x_new = axpy(alpha, p, x)
+        r_new = axpy(-alpha, Sp, rr)
         z_new = precond(r_new)
         beta_den = dot(rr, z)
         beta = jnp.where(jnp.abs(beta_den) < 1e-20, 0.0, dot(r_new, z_new) / beta_den)
-        p_new = z_new + beta * p
+        p_new = axpy(beta, p, z_new)
         return (x_new, r_new, z_new, p_new)
 
     x, _, _, _ = jax.lax.fori_loop(0, cg_iters, cg_step, (x0, r0, z0, p0))
-    delta_cam = x
+    delta_cam, delta_intr = x
 
-    # Back-substitute point updates: dp = V^-1 (g_p - W^T dc). All local.
+    # Back-substitute point updates: dp = V^-1 (g_p - W^T dc - Z dt). Local.
     acc = jnp.sum(W * delta_cam[None, :, :, None], axis=(1, 2))  # (P, 3)
+    if refine_intrinsics:
+        acc = acc + jnp.sum(Z * delta_intr[None, None, :], axis=-1)
     delta_pts = jnp.sum(V_inv * (g_p - acc)[:, None, :], axis=-1)
-    return delta_cam, delta_pts
+    return delta_cam, delta_pts, delta_intr
 
 
 # ---------------------------------------------------------------------------
@@ -318,7 +417,10 @@ def _lm_solve(prob: BAProblem, lam: jnp.ndarray, cg_iters: int,
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("max_iterations", "cg_iters", "axis_name", "huber_delta"))
+@partial(jax.jit, static_argnames=(
+    "max_iterations", "cg_iters", "axis_name", "huber_delta",
+    "refine_intrinsics",
+))
 def run_ba(
     prob: BAProblem,
     max_iterations: int = 20,
@@ -328,6 +430,7 @@ def run_ba(
     damping_down: float = 2.0,
     axis_name: str | None = None,
     huber_delta: float = 0.0,
+    refine_intrinsics: bool = False,
 ) -> tuple[BAProblem, BAStats]:
     """Levenberg-Marquardt with accept/reject and multiplicative damping.
 
@@ -340,9 +443,13 @@ def run_ba(
 
     def body(carry):
         prob, lam, cost, it, accepted = carry
-        dc, dp = _lm_solve(prob, lam, cg_iters, axis_name, huber_delta)
+        dc, dp, dt = _lm_solve(
+            prob, lam, cg_iters, axis_name, huber_delta, refine_intrinsics
+        )
         cand = prob._replace(
-            cam_params=prob.cam_params + dc, points=prob.points + dp
+            cam_params=prob.cam_params + dc,
+            points=prob.points + dp,
+            intr=prob.intr + dt,
         )
         new_cost = _cost(cand, axis_name)
         improve = new_cost < cost
@@ -385,3 +492,30 @@ def bundle_adjust_map(
         huber_delta=huber_delta,
     )
     return write_back_to_map(state, prob), stats
+
+
+def bundle_adjust_map_intrinsics(
+    state: MapState,
+    max_iterations: int = 20,
+    cg_iters: int = 20,
+    frozen_first: int = 1,
+    huber_delta: float = 0.0,
+) -> tuple[MapState, BAStats, jnp.ndarray]:
+    """Map BA that ALSO refines the shared intrinsics [f_scale, k1, k2]
+    (the reference notebook's 9-param camera, cells 3-7, with f/k1/k2
+    shared across the sequence — one physical camera).
+
+    The recovered focal scale is folded back into the map's K; the radial
+    distortion (k1, k2) is returned with the full intr vector so callers
+    can undistort observations or record calibration. Returns
+    (state, stats, intr)."""
+    prob = problem_from_map(state, frozen_first=frozen_first)
+    prob, stats = run_ba(
+        prob, max_iterations=max_iterations, cg_iters=cg_iters,
+        huber_delta=huber_delta, refine_intrinsics=True,
+    )
+    state = write_back_to_map(state, prob)
+    s = prob.intr[0]
+    K = state.K
+    K = K.at[0, 0].mul(s).at[0, 1].mul(s).at[1, 1].mul(s)
+    return state._replace(K=K), stats, prob.intr

@@ -31,7 +31,7 @@ def _specs(mesh: Mesh, axis: str):
     pt = P(axis)
     return BAProblem(
         cam_params=rep, points=pt, cam_valid=rep, point_valid=pt,
-        obs_uv=pt, obs_mask=pt, K=rep, frozen=rep,
+        obs_uv=pt, obs_mask=pt, K=rep, frozen=rep, intr=rep,
     )
 
 
