@@ -27,6 +27,17 @@ import numpy as np
 
 def main():
     import jax
+
+    # sitecustomize imports jax pointed at the axon TPU tunnel before this
+    # script runs; env vars alone are too late, but config updates before
+    # first backend use still take effect (same pattern as tests/conftest).
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        if os.environ["JAX_PLATFORMS"] == "cpu":
+            jax.config.update(
+                "jax_num_cpu_devices",
+                int(os.environ.get("SCALING_CPU_DEVICES", "8")),
+            )
     import jax.numpy as jnp
 
     from sfm_mvs_tpu.models import map_store
@@ -40,6 +51,16 @@ def main():
     print(f"platform={devices[0].platform} devices={n_dev}", file=sys.stderr)
 
     results = {"platform": devices[0].platform, "num_devices": n_dev}
+    if devices[0].platform == "cpu":
+        # Virtual CPU devices share the host's physical cores (they exist
+        # to validate sharding semantics, not to add compute), so measured
+        # "efficiency" here is a lower bound that mostly reflects XLA-CPU
+        # thread-pool contention — NOT hardware scaling. On a real slice
+        # each mesh step adds actual chips.
+        results["note"] = (
+            "virtual CPU mesh: devices share physical cores; efficiency "
+            "validates machinery, not hardware scaling"
+        )
 
     # --- Data-parallel front end: fixed per-device batch (weak scaling). ---
     cfg = FrontendConfig(
