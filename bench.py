@@ -146,6 +146,66 @@ def main():
         f"final BA rms={final_rms:.4f}px, ATE={ate:.5f}"
     )
 
+    # --- Finalize: densification sweep to reference cloud density. ---
+    # The reference's Gustav artifact holds 19,282 points (sparse.ply:3,
+    # the accumulate-everything loop sfm.py:387-395); the registration
+    # loop above keeps a deduplicated track map instead, so density is
+    # restored by a one-time per-pair sweep at a denser detection budget
+    # from the final bundle-adjusted trajectory.
+    import dataclasses
+
+    from sfm_mvs_tpu.models import densify
+    from sfm_mvs_tpu.utils.config import SweepConfig
+
+    t0 = time.time()
+    small = os.environ.get("BENCH_SMALL", "0") == "1"
+    # Sweep detection is CONTRAST-limited on this scene, not budget-limited
+    # (measured: ct=0.006 -> ~1.2k valid features, ct=0.0025 -> ~2.5k with
+    # ~1.9k matches/pair), so density comes from the lower threshold; the
+    # 4096 budget already holds the yield and keeps matching cheap.
+    cfg_sweep = dataclasses.replace(
+        cfg,
+        sweep=SweepConfig(
+            enabled=True,
+            grow_points=16384 if small else 65536,
+            reproj_px=1.5,
+            max_features=4096,
+            contrast_threshold=0.0025,
+            pair_strides=(1, 2),
+        ),
+    )
+    sweep_feats = densify.redetect_for_sweep(
+        [stack8[i].astype(jnp.float32) / 255.0 for i in range(N_FRAMES)],
+        cfg_sweep,
+    )
+    state, sweep_info = densify.finalize_with_sweep(
+        state, sweep_feats, [gray_bgr(stack8[i]) for i in range(N_FRAMES)],
+        cfg_sweep,
+    )
+    jax.block_until_ready(state.points)
+    n_pts = int(np.asarray(state.point_valid).sum())
+    n_obs = int(map_store.num_observations(state))
+    rms_sweep = float(np.sqrt(sweep_info["final_cost"]))
+    poses = np.asarray(state.poses)[np.asarray(state.cam_valid)]
+    ate_sweep = (
+        evaluate.ate_rmse(poses, Rt_gt[:n_cams]) if n_cams == N_FRAMES else float("nan")
+    )
+    log(
+        f"densify sweep: {n_pts} points ({sweep_info['swept_points']} swept), "
+        f"{n_obs} obs, rms={rms_sweep:.4f}px, ATE={ate_sweep:.5f}, "
+        f"{time.time()-t0:.1f}s one-time"
+    )
+    ply_path = os.environ.get("BENCH_PLY", "")
+    if ply_path:
+        from sfm_mvs_tpu.utils import io as sfm_io
+
+        # Reference export semantics (x200 scale + centroid cut), with the
+        # cut radius sized to THIS scene's extent (the reference's +300 is
+        # tuned to Gustav's statue scale; the staircase scene is wider, so
+        # the same constant would slice off real structure).
+        n_ply = sfm_io.map_to_ply(ply_path, state, outlier_offset=900.0)
+        log(f"wrote {n_ply} vertices to {ply_path}")
+
     print(
         json.dumps(
             {

@@ -55,6 +55,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint-every", type=int, default=0)
     p.add_argument("--resume", action="store_true", help="resume from last checkpoint")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--bootstrap", choices=["seq", "auto"], default="seq",
+                   help="bootstrap pair: seq = frames (0,1) like the "
+                        "reference (sfm.py:300-302); auto = strongest "
+                        "sufficient-parallax view-graph pair")
+    p.add_argument("--loop-close", type=int, default=0,
+                   help="inject re-observations from the top-K strong "
+                        "non-adjacent pairs before the final BA")
     p.add_argument(
         "--pipeline", choices=["incremental", "global"], default="incremental",
         help="incremental = sfm.py-style PnP registration; global = "
@@ -62,6 +69,9 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--ba-local-window", type=int, default=0,
                    help="local BA: optimize only the last K cameras")
+    p.add_argument("--ba-refine-intrinsics", action="store_true",
+                   help="refine shared [focal_scale, k1, k2] in the final "
+                        "global BA (notebook prototype's camera model)")
     p.add_argument("--batch-detect", type=int, default=0,
                    help="pre-detect features in vmapped batches of this size")
     p.add_argument("--pallas-matcher", action="store_true",
@@ -70,6 +80,20 @@ def build_parser() -> argparse.ArgumentParser:
                    help="disable re-observation track merging")
     p.add_argument("--finalize", action="store_true",
                    help="final polish: cull outlier observations + global BA")
+    p.add_argument("--sweep", action="store_true",
+                   help="final densification sweep: re-match every adjacent "
+                        "pair from the solved trajectory and triangulate all "
+                        "good matches (reference cloud density, sfm.py:387-395)")
+    p.add_argument("--sweep-features", type=int, default=0,
+                   help="sweep-time detection budget (0 = run budget)")
+    p.add_argument("--sweep-contrast", type=float, default=0.0,
+                   help="sweep-time contrast threshold (0 = run threshold)")
+    p.add_argument("--sweep-grow", type=int, default=65536,
+                   help="map point capacity for the sweep")
+    p.add_argument("--sweep-reproj", type=float, default=1.5,
+                   help="both-view reprojection gate for swept points (px)")
+    p.add_argument("--sweep-dedup", type=float, default=1.0,
+                   help="projected-pixel dedup radius against the map (px)")
     p.add_argument(
         "--densify", action="store_true",
         help="plane-sweep MVS depth + fusion -> dense.ply (the reference's "
@@ -82,12 +106,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 def config_from_args(args) -> "SfmConfig":
     from sfm_mvs_tpu.utils.config import (
-        BaConfig, FrontendConfig, MapConfig, RansacConfig, SfmConfig,
+        BaConfig, FrontendConfig, MapConfig, RansacConfig, SfmConfig, SweepConfig,
     )
 
     return SfmConfig(
         fx=args.fx, fy=args.fy, cx=args.cx, cy=args.cy, downscale=args.downscale,
         image_dir=args.image_dir, output_dir=args.out, max_images=args.max_images,
+        bootstrap=args.bootstrap, loop_close_pairs=args.loop_close,
         frontend=FrontendConfig(
             max_features=args.max_features,
             lowe_ratio=args.lowe_ratio,
@@ -107,8 +132,17 @@ def config_from_args(args) -> "SfmConfig":
             enabled=args.ba, cadence=args.ba_cadence,
             max_iterations=args.ba_iterations,
             local_window=args.ba_local_window,
+            refine_intrinsics=args.ba_refine_intrinsics,
         ),
         map=MapConfig(max_cameras=args.max_cameras, max_points=args.max_points),
+        sweep=SweepConfig(
+            enabled=args.sweep,
+            max_features=args.sweep_features,
+            contrast_threshold=args.sweep_contrast,
+            grow_points=args.sweep_grow,
+            reproj_px=args.sweep_reproj,
+            dedup_px=args.sweep_dedup,
+        ),
     )
 
 
@@ -172,7 +206,13 @@ def main(argv=None) -> int:
             batch_detect=args.batch_detect,
         )
 
-    if args.finalize:
+    if (
+        args.finalize or args.sweep or args.loop_close
+        or args.ba_refine_intrinsics
+    ) and args.pipeline == "incremental":
+        state = sfm.finalize()
+        print(f"finalize: {sfm.finalize_info}")
+    elif args.finalize:
         from sfm_mvs_tpu.models.refine import finalize_map
 
         state, info = finalize_map(state, max_iterations=args.ba_iterations)

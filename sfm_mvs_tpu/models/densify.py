@@ -1,0 +1,236 @@
+"""Final densification sweep: per-pair re-match + triangulate-everything.
+
+Reproduces the reference's cloud-density semantics. The reference keeps
+every ratio-test-surviving, reprojection-checked match of every frame in
+the output cloud (the accumulate-everything loop, sfm.py:387-395; the
+test.py variant does it as an explicit per-adjacent-pair sweep after
+global BA, test.py:339-380 -> isparse.ply). The incremental driver here
+instead maintains a deduplicated track map so per-frame BA stays small —
+an order of magnitude fewer points. This module restores density as a
+one-time finalize step run AFTER the trajectory is solved:
+
+- the map capacity is grown once (``map_store.grow_map``) so the
+  registration loop never pays dense-grid BA cost for sweep points;
+- every adjacent pair is re-matched and ALL good matches triangulated
+  from the final (bundle-adjusted) poses — one jitted program per pair,
+  constant shapes so it compiles once;
+- candidates that coincide with an existing map point (projected pixel
+  distance + relative depth agreement in the new camera) extend that
+  point's track instead of duplicating it; the duplicate test against the
+  full map runs as chunked MXU matmuls (no sparse gathers).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from sfm_mvs_tpu.models import map_store
+from sfm_mvs_tpu.models.map_store import MapState
+from sfm_mvs_tpu.ops import matching, projection, triangulation
+from sfm_mvs_tpu.ops.sift import Features
+from sfm_mvs_tpu.utils.config import FrontendConfig, SfmConfig
+
+
+def sweep_frontend_config(cfg: SfmConfig) -> FrontendConfig:
+    """The detection/matching config the sweep runs with: the run-time
+    frontend, with budget/threshold/ratio overridden where SweepConfig
+    sets them (>0)."""
+    sw = cfg.sweep
+    fc = cfg.frontend
+    repl = {}
+    if sw.max_features > 0:
+        repl["max_features"] = sw.max_features
+    if sw.contrast_threshold > 0:
+        repl["contrast_threshold"] = sw.contrast_threshold
+    if sw.lowe_ratio > 0:
+        repl["lowe_ratio"] = sw.lowe_ratio
+    return dataclasses.replace(fc, **repl) if repl else fc
+
+
+def _nearest_map_point(uv_cand, uv_map, depth_map, valid_map):
+    """Per-candidate nearest projected map point: (min_d2 (M,), depth (M,)).
+
+    Chunked running-min over the point axis — each block is one
+    (M, B) distance matmul on the MXU; the full (M, P) matrix never
+    materializes (P can be 64k+).
+    """
+    P = uv_map.shape[0]
+    M = uv_cand.shape[0]
+    chunk = 8192 if P % 8192 == 0 else P
+    sq_c = jnp.sum(uv_cand * uv_cand, axis=1)  # (M,)
+
+    def body(i, carry):
+        dmin, zmin = carry
+        s = i * chunk
+        uvb = jax.lax.dynamic_slice(uv_map, (s, 0), (chunk, 2))
+        zb = jax.lax.dynamic_slice(depth_map, (s,), (chunk,))
+        vb = jax.lax.dynamic_slice(valid_map, (s,), (chunk,))
+        d2 = (
+            sq_c[:, None]
+            + jnp.sum(uvb * uvb, axis=1)[None, :]
+            - 2.0 * uv_cand @ uvb.T
+        )
+        d2 = jnp.where(vb[None, :], d2, jnp.inf)
+        j = jnp.argmin(d2, axis=1)
+        dblk = jnp.min(d2, axis=1)
+        better = dblk < dmin
+        return (
+            jnp.where(better, dblk, dmin),
+            jnp.where(better, zb[j], zmin),
+        )
+
+    init = (jnp.full((M,), jnp.inf, jnp.float32), jnp.zeros((M,), jnp.float32))
+    return jax.lax.fori_loop(0, P // chunk, body, init)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def sweep_pair(
+    state: MapState,
+    cam0: jnp.ndarray,
+    cam1: jnp.ndarray,
+    feats0: Features,
+    feats1: Features,
+    image_bgr1: jnp.ndarray,
+    cfg: SfmConfig,
+) -> tuple[MapState, jnp.ndarray]:
+    """Triangulate every good match of one frame pair into the map.
+
+    Returns (state, num_added). Poses are read from the (final) map; the
+    whole pair — match, triangulate, gate, dedup, append — is one jit.
+    """
+    sw = cfg.sweep
+    K = state.K
+    pose0 = state.poses[cam0]
+    pose1 = state.poses[cam1]
+
+    m = matching.match_with_config(
+        feats0.desc, feats1.desc, feats0.valid, feats1.valid, cfg.frontend
+    )
+    uv0, uv1, mvalid = matching.gather_match_points(feats0.xy, feats1.xy, m)
+
+    X = triangulation.triangulate_euclidean(K @ pose0, K @ pose1, uv0, uv1)
+    d0, d1 = triangulation.triangulation_depths(pose0, pose1, X)
+    e0 = jnp.linalg.norm(
+        projection.reprojection_residuals(X, uv0, pose0, K), axis=-1
+    )
+    e1 = jnp.linalg.norm(
+        projection.reprojection_residuals(X, uv1, pose1, K), axis=-1
+    )
+    good = (
+        mvalid
+        & (d0 > 0)
+        & (d1 > 0)
+        & (e0 < sw.reproj_px)
+        & (e1 < sw.reproj_px)
+    )
+
+    # Dedup against the live map: a candidate whose projection in cam1
+    # lands within dedup_px of an existing point at consistent depth is a
+    # re-observation, not a new point.
+    uv_map, depth_map = projection.project_depth(state.points, pose1, K)
+    vmap_ok = state.point_valid & (depth_map > 0)
+    dmin2, z_near = _nearest_map_point(uv1, uv_map, depth_map, vmap_ok)
+    dup = (
+        (dmin2 < sw.dedup_px**2)
+        & (jnp.abs(z_near - d1) < sw.dedup_depth_rel * jnp.maximum(z_near, 1e-6))
+    )
+    good = good & ~dup
+
+    H, W = image_bgr1.shape[0], image_bgr1.shape[1]
+    xi = jnp.clip(uv1[:, 0].astype(jnp.int32), 0, W - 1)
+    yi = jnp.clip(uv1[:, 1].astype(jnp.int32), 0, H - 1)
+    colors = image_bgr1[yi, xi].astype(jnp.float32)
+
+    state, pids = map_store.append_points(state, X, colors, good)
+    state = map_store.append_observations(state, cam0, pids, uv0, good)
+    state = map_store.append_observations(state, cam1, pids, uv1, good)
+    return state, jnp.sum(good)
+
+
+def densify_sweep(
+    state: MapState,
+    feats: Sequence[Features],
+    images_bgr: Optional[Sequence] = None,
+    cfg: Optional[SfmConfig] = None,
+) -> tuple[MapState, int]:
+    """Run the sweep over all adjacent pairs (host loop, one jit per pair).
+
+    feats[i] must correspond to camera i in the map (same registration
+    order). images_bgr supplies point colors; when absent, colors default
+    to mid-gray. Returns (state, total points added).
+    """
+    cfg = cfg or SfmConfig()
+    cfg = dataclasses.replace(cfg, frontend=sweep_frontend_config(cfg))
+    n = int(state.num_cams)
+    added = []
+    for stride in cfg.sweep.pair_strides:
+        stride = max(1, int(stride))
+        for i in range(0, n - stride):
+            if images_bgr is not None:
+                img = jnp.asarray(images_bgr[i + stride])
+            else:
+                img = jnp.full((2, 2, 3), 128.0, jnp.float32)
+            state, k = sweep_pair(
+                state,
+                jnp.asarray(i, jnp.int32),
+                jnp.asarray(i + stride, jnp.int32),
+                feats[i],
+                feats[i + stride],
+                img,
+                cfg,
+            )
+            added.append(k)  # device scalar — no host sync inside the loop
+    total = int(sum(int(a) for a in added)) if added else 0
+    return state, total
+
+
+def redetect_for_sweep(
+    images_gray: Sequence, cfg: SfmConfig
+) -> list[Features]:
+    """Detect sweep features at the (denser) sweep budget for each frame."""
+    from sfm_mvs_tpu.ops import sift
+
+    fc = sweep_frontend_config(cfg)
+    return [
+        sift.detect_and_compute(jnp.asarray(g), fc) for g in images_gray
+    ]
+
+
+def finalize_with_sweep(
+    state: MapState,
+    feats: Sequence[Features],
+    images_bgr: Optional[Sequence] = None,
+    cfg: Optional[SfmConfig] = None,
+    cull_px: float = 4.0,
+    images_gray: Optional[Sequence] = None,
+) -> tuple[MapState, dict]:
+    """Grow -> sweep -> cull -> final global BA. The full finalize recipe.
+
+    The pre-sweep map is assumed already polished (the driver runs BA
+    during registration); the post-sweep BA refines the swept points
+    together with the trajectory. When SweepConfig overrides the detection
+    budget and `images_gray` is given, features are re-detected at the
+    sweep budget instead of reusing the run's.
+    """
+    from sfm_mvs_tpu.models import ba as ba_mod
+    from sfm_mvs_tpu.models.refine import cull_map
+
+    cfg = cfg or SfmConfig()
+    info: dict = {}
+    if images_gray is not None and sweep_frontend_config(cfg) is not cfg.frontend:
+        feats = redetect_for_sweep(images_gray, cfg)
+    state = map_store.grow_map(state, cfg.sweep.grow_points)
+    state, info["swept_points"] = densify_sweep(state, feats, images_bgr, cfg)
+    if cfg.sweep.final_ba_iters > 0:
+        state = cull_map(state, max_error_px=cull_px)
+        state, ba_stats = ba_mod.bundle_adjust_map(
+            state, max_iterations=cfg.sweep.final_ba_iters
+        )
+        info["final_cost"] = float(ba_stats.final_cost)
+    info["points"] = int(jnp.sum(state.point_valid))
+    return state, info

@@ -36,6 +36,7 @@ class ViewGraph(NamedTuple):
     R: np.ndarray  # (M, 3, 3) relative rotations
     t: np.ndarray  # (M, 3) relative translations (unit)
     adjacency: np.ndarray  # (F, F) symmetric inlier-count matrix
+    parallax_deg: np.ndarray  # (M,) mean rotation-compensated ray angle
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -52,7 +53,20 @@ def _pair_geometry(key, desc0, desc1, xy0, xy1, v0, v1, K, cfg: SfmConfig):
         threshold_px=rc.essential_threshold_px, iters=rc.essential_iters,
     )
     R, t, _ = recover_pose(res.model, n0, n1, res.inliers)
-    return jnp.sum(m.valid), res.num_inliers, R, t
+    # Parallax: mean angle between the rotation-compensated ray from view
+    # 0 and the matching ray in view 1, over inliers. A zero-baseline pair
+    # (the degenerate-bootstrap trap) scores many E-inliers but ~0 here.
+    def rays(n):
+        h = jnp.concatenate([n, jnp.ones_like(n[:, :1])], axis=1)
+        return h / jnp.linalg.norm(h, axis=1, keepdims=True)
+
+    r0 = rays(n0) @ R.T
+    r1 = rays(n1)
+    cosang = jnp.clip(jnp.sum(r0 * r1, axis=1), -1.0, 1.0)
+    ang = jnp.degrees(jnp.arccos(cosang))
+    wsum = jnp.maximum(jnp.sum(res.inliers), 1)
+    parallax = jnp.sum(jnp.where(res.inliers, ang, 0.0)) / wsum
+    return jnp.sum(m.valid), res.num_inliers, R, t, parallax
 
 
 _pair_geometry_batch = jax.jit(
@@ -67,12 +81,15 @@ def build_view_graph(
     seed: int = 0,
     batch_size: int = 8,
     feats: Optional[list[Features]] = None,
+    window: int = 0,
 ) -> ViewGraph:
     """Exhaustively match all frame pairs (batched; shardable).
 
     images_gray: list of (H, W) float32. Pairs are processed in batches of
     `batch_size` through one vmapped match+RANSAC program; on a multi-chip
     mesh the batch axis shards across devices (parallel/frontend.py).
+    window > 0 limits pairs to |i - j| <= window (O(N*w) instead of
+    O(N^2) — enough for bootstrap selection on video sequences).
     """
     cfg = cfg or SfmConfig()
     K = jnp.asarray(cfg.intrinsic_matrix())
@@ -82,13 +99,18 @@ def build_view_graph(
             for g in images_gray
         ]
     F = len(feats)
-    pairs = [(i, j) for i in range(F) for j in range(i + 1, F)]
+    pairs = [
+        (i, j)
+        for i in range(F)
+        for j in range(i + 1, F)
+        if not window or j - i <= window
+    ]
     desc = jnp.stack([f.desc for f in feats])
     xy = jnp.stack([f.xy for f in feats])
     valid = jnp.stack([f.valid for f in feats])
 
     key = jax.random.PRNGKey(seed)
-    nm_all, ni_all, R_all, t_all = [], [], [], []
+    nm_all, ni_all, R_all, t_all, px_all = [], [], [], [], []
     for s in range(0, len(pairs), batch_size):
         chunk = pairs[s : s + batch_size]
         pad = batch_size - len(chunk)
@@ -97,7 +119,7 @@ def build_view_graph(
         jj = jnp.asarray([c[1] for c in chunk_p])
         key, kb = jax.random.split(key)
         keys = jax.random.split(kb, batch_size)
-        nm, ni, R, t = _pair_geometry_batch(
+        nm, ni, R, t, px = _pair_geometry_batch(
             keys, desc[ii], desc[jj], xy[ii], xy[jj], valid[ii], valid[jj], K, cfg
         )
         n = len(chunk)
@@ -105,6 +127,7 @@ def build_view_graph(
         ni_all.append(np.asarray(ni)[:n])
         R_all.append(np.asarray(R)[:n])
         t_all.append(np.asarray(t)[:n])
+        px_all.append(np.asarray(px)[:n])
 
     num_matches = np.concatenate(nm_all)
     num_inliers = np.concatenate(ni_all)
@@ -119,18 +142,91 @@ def build_view_graph(
         R=np.concatenate(R_all),
         t=np.concatenate(t_all),
         adjacency=adjacency,
+        parallax_deg=np.concatenate(px_all),
     )
 
 
-def best_bootstrap_pair(graph: ViewGraph, min_inliers: int = 50) -> tuple[int, int]:
-    """Pick the strongest non-adjacent-degenerate pair to initialize from.
+def best_bootstrap_pair(
+    graph: ViewGraph,
+    min_inliers: int = 50,
+    min_parallax_deg: float = 1.0,
+    max_gap: int = 0,
+) -> tuple[int, int]:
+    """Pick the strongest non-degenerate pair to initialize from.
 
-    Highest inlier count wins (the information isfm.py printed but never
-    used, isfm.py:86).
+    Among pairs with enough inliers AND enough parallax (the
+    rotation-compensated ray angle — a near-zero-baseline pair has many
+    E-inliers but no triangulable depth), the highest inlier count wins
+    (the information isfm.py printed but never used, isfm.py:86).
+    max_gap > 0 restricts to pairs at most that many frames apart.
     """
     order = np.argsort(-graph.num_inliers)
-    for idx in order:
-        if graph.num_inliers[idx] >= min_inliers:
-            return int(graph.pair_i[idx]), int(graph.pair_j[idx])
+    gaps = np.abs(graph.pair_j - graph.pair_i)
+    for required_px in (min_parallax_deg, 0.25 * min_parallax_deg, 0.0):
+        for idx in order:
+            if max_gap and gaps[idx] > max_gap:
+                continue
+            if (
+                graph.num_inliers[idx] >= min_inliers
+                and graph.parallax_deg[idx] >= required_px
+            ):
+                return int(graph.pair_i[idx]), int(graph.pair_j[idx])
     idx = order[0]
     return int(graph.pair_i[idx]), int(graph.pair_j[idx])
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def inject_reobservations(
+    state,
+    cam_i: jnp.ndarray,
+    cam_j: jnp.ndarray,
+    feats_i: Features,
+    feats_j: Features,
+    track_i: jnp.ndarray,
+    cfg: SfmConfig,
+):
+    """Add loop-closure observations: match the (non-adjacent) pair
+    (cam_i, cam_j); wherever frame i's feature already tracks a map point,
+    record that point's observation in camera j (gated by positive depth,
+    reprojection error, and not already observed there). One direction —
+    call twice with swapped arguments for both.
+
+    Returns (state, num_injected)."""
+    from sfm_mvs_tpu.models import map_store
+
+    m = matching.knn_match(
+        feats_i.desc, feats_j.desc, feats_i.valid, feats_j.valid,
+        ratio=cfg.frontend.lowe_ratio,
+    )
+    uv_i, uv_j, mvalid = matching.gather_match_points(feats_i.xy, feats_j.xy, m)
+    tids = track_i[m.idx0]
+    P = state.points.shape[0]
+    safe = jnp.clip(tids, 0, P - 1)
+    has = mvalid & (tids >= 0) & state.point_valid[safe]
+    X = state.points[safe]
+    pose_j = state.poses[cam_j]
+    uv_proj, depth = projection.project_depth(X, pose_j, state.K)
+    err = jnp.linalg.norm(uv_proj - uv_j, axis=-1)
+    fresh = ~state.obs_mask[safe, cam_j]
+    ok = (
+        has
+        & (depth > 0)
+        & (err < cfg.ransac.pnp_threshold_px)
+        & fresh
+    )
+    state = map_store.append_observations(state, cam_j, tids, uv_j, ok)
+    return state, jnp.sum(ok)
+
+
+def strongest_loop_pairs(
+    graph: ViewGraph,
+    top_k: int,
+    min_gap: int = 3,
+    min_inliers: int = 30,
+) -> list[tuple[int, int]]:
+    """Top-K strong NON-adjacent pairs — loop-closure candidates whose
+    re-observations tie distant cameras together before the final BA."""
+    gaps = np.abs(graph.pair_j - graph.pair_i)
+    cand = np.where((gaps >= min_gap) & (graph.num_inliers >= min_inliers))[0]
+    cand = cand[np.argsort(-graph.num_inliers[cand])][:top_k]
+    return [(int(graph.pair_i[i]), int(graph.pair_j[i])) for i in cand]

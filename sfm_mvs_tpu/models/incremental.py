@@ -59,7 +59,7 @@ def _sample_colors(image_bgr: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
     return image_bgr[y, x].astype(jnp.float32)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "return_track0"))
 def init_from_bootstrap(
     key: jax.Array,
     feats0: Features,
@@ -67,8 +67,14 @@ def init_from_bootstrap(
     image1_bgr: jnp.ndarray,
     K: jnp.ndarray,
     cfg: SfmConfig,
+    return_track0: bool = False,
 ) -> tuple[PipelineState, FrameStats]:
-    """Run the two-view bootstrap and materialize the initial map."""
+    """Run the two-view bootstrap and materialize the initial map.
+
+    return_track0: additionally return the track-id vector for frame 0's
+    feature slots (the auto-bootstrap driver registers frames on BOTH
+    sides of the bootstrap pair, so both anchors need track vectors).
+    """
     tv = bootstrap(key, feats0, feats1, K, cfg)
     state = map_store.init_map(K, cfg.map)
     state, cam0 = map_store.append_camera(state, tv.pose0)
@@ -90,7 +96,14 @@ def init_from_bootstrap(
         reproj_error=tv.reproj_error,
         accepted=jnp.asarray(True),
     )
-    return PipelineState(map=state, prev_feats=feats1, prev_track=track), stats
+    pstate = PipelineState(map=state, prev_feats=feats1, prev_track=track)
+    if return_track0:
+        max_feat0 = feats0.xy.shape[0]
+        track0 = jnp.full((max_feat0,), -1, jnp.int32)
+        slot0 = jnp.where(tv.valid, tv.idx0, max_feat0)
+        track0 = track0.at[slot0].set(pids.astype(jnp.int32), mode="drop")
+        return pstate, stats, track0
+    return pstate, stats
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -100,8 +113,16 @@ def register_frame(
     new_feats: Features,
     image_bgr: jnp.ndarray,
     cfg: SfmConfig,
+    anchor_cam: Optional[jnp.ndarray] = None,
 ) -> tuple[PipelineState, FrameStats]:
-    """Register one new frame against the map (sfm.py:341-412, one jit)."""
+    """Register one new frame against the map (sfm.py:341-412, one jit).
+
+    anchor_cam: camera id of the frame `pstate.prev_feats` belongs to.
+    Defaults to the most recently appended camera (the sequential sliding
+    window); the auto-bootstrap driver passes it explicitly because its
+    registration order walks away from the bootstrap pair in both
+    directions.
+    """
     fc, rc = cfg.frontend, cfg.ransac
     state = pstate.map
     K = state.K
@@ -129,7 +150,7 @@ def register_frame(
     )
     pose_new = pnp_res.model
     state, cam_new = map_store.append_camera(state, pose_new)
-    prev_cam = cam_new - 1
+    prev_cam = (cam_new - 1) if anchor_cam is None else anchor_cam
     pose_prev = state.poses[prev_cam]
 
     # 4. Observations of existing points in the new frame (PnP inliers).
@@ -343,6 +364,15 @@ class IncrementalSfM:
             )
 
         key = jax.random.PRNGKey(seed)
+        # Per REGISTERED camera (rejected frames excluded): features,
+        # images, and feature-slot -> point-id track vectors — kept for
+        # the finalize densification sweep and loop-closure injection.
+        self._cam_feats: list = []
+        self._cam_bgr: list = []
+        self._cam_gray: list = []
+        self._cam_tracks: list = []
+        if cfg.bootstrap == "auto" and resume_state is None:
+            return self._run_auto(images_gray, images_bgr, seed, get_feats)
         if resume_state is not None:
             pstate = resume_state
             start = resume_frame + 1
@@ -351,10 +381,15 @@ class IncrementalSfM:
         else:
             feats = [get_feats(0), get_feats(1)]
             key, k0 = jax.random.split(key)
-            pstate, st = init_from_bootstrap(
-                k0, feats[0], feats[1], jnp.asarray(images_bgr[1]), K, cfg
+            pstate, st, track0 = init_from_bootstrap(
+                k0, feats[0], feats[1], jnp.asarray(images_bgr[1]), K, cfg,
+                return_track0=True,
             )
             self._record(1, st, 0.0)
+            self._cam_feats += feats
+            self._cam_bgr += [images_bgr[0], images_bgr[1]]
+            self._cam_gray += [images_gray[0], images_gray[1]]
+            self._cam_tracks += [track0, pstate.prev_track]
             start = 2
         for i in range(start, len(images_gray)):
             t0 = _time.time()
@@ -366,9 +401,191 @@ class IncrementalSfM:
             pstate = self._maybe_ba(pstate, i)
             jax.block_until_ready(pstate.map.points)
             self._record(i, st, _time.time() - t0)
+            if bool(st.accepted):
+                self._cam_feats.append(f)
+                self._cam_bgr.append(images_bgr[i])
+                self._cam_gray.append(images_gray[i])
+                self._cam_tracks.append(pstate.prev_track)
             self._maybe_checkpoint(pstate, i)
         self.state = pstate
         return pstate.map
+
+    def _run_auto(self, images_gray, images_bgr, seed, get_feats) -> MapState:
+        """View-graph-driven registration: bootstrap on the strongest
+        sufficient-parallax pair (the completed isfm.py, consumed), then
+        register the remaining frames walking outward from it. Cameras are
+        re-permuted into frame order at the end, so all downstream
+        consumers (export, evaluation, sweep) see the usual layout."""
+        import time as _time
+
+        import numpy as _np
+
+        from sfm_mvs_tpu.models import exhaustive, map_store as ms
+
+        cfg = self.config
+        K = jnp.asarray(cfg.intrinsic_matrix())
+        N = len(images_gray)
+        feats = [get_feats(i) for i in range(N)]
+        graph = exhaustive.build_view_graph(
+            images_gray, cfg, seed=seed, feats=feats,
+            window=cfg.view_graph_window,
+        )
+        a, b = exhaustive.best_bootstrap_pair(graph)
+        if a > b:
+            a, b = b, a
+        if self.metrics is not None:
+            self.metrics.log(event="bootstrap_auto", pair=[a, b])
+        key = jax.random.PRNGKey(seed)
+        key, k0 = jax.random.split(key)
+        pstate, st, track_a = init_from_bootstrap(
+            k0, feats[a], feats[b], jnp.asarray(images_bgr[b]), K, cfg,
+            return_track0=True,
+        )
+        self._record(b, st, 0.0)
+        state = pstate.map
+        tracks = {a: track_a, b: pstate.prev_track}
+        cam_of_frame = {a: 0, b: 1}
+        frame_of_cam = [a, b]
+
+        # Walks: forward past b, backward before a, and the a..b interior.
+        walks = [
+            (range(b + 1, N), b),
+            (range(a - 1, -1, -1), a),
+            (range(a + 1, b), a),
+        ]
+        step = 1
+        for frames, anchor in walks:
+            for f in frames:
+                t0 = _time.time()
+                key, ki = jax.random.split(key)
+                pstate_f = PipelineState(
+                    map=state,
+                    prev_feats=feats[anchor],
+                    prev_track=tracks[anchor],
+                )
+                new_pstate, st = register_frame(
+                    ki, pstate_f, feats[f], jnp.asarray(images_bgr[f]), cfg,
+                    anchor_cam=jnp.asarray(cam_of_frame[anchor], jnp.int32),
+                )
+                new_pstate = self._maybe_ba(new_pstate, step)
+                jax.block_until_ready(new_pstate.map.points)
+                self._record(f, st, _time.time() - t0)
+                if bool(st.accepted):
+                    state = new_pstate.map
+                    tracks[f] = new_pstate.prev_track
+                    cam_of_frame[f] = len(frame_of_cam)
+                    frame_of_cam.append(f)
+                    anchor = f
+                step += 1
+
+        # Restore frame order for export/evaluation/sweep.
+        perm = _np.argsort(frame_of_cam)
+        state = ms.reorder_cameras(state, perm)
+        frames_sorted = sorted(frame_of_cam)
+        self._cam_feats = [feats[f] for f in frames_sorted]
+        self._cam_bgr = [images_bgr[f] for f in frames_sorted]
+        self._cam_gray = [images_gray[f] for f in frames_sorted]
+        self._cam_tracks = [tracks[f] for f in frames_sorted]
+        self.bootstrap_pair = (a, b)
+        last = frames_sorted[-1]
+        self.state = PipelineState(
+            map=state, prev_feats=feats[last], prev_track=tracks[last]
+        )
+        return state
+
+    def finalize(self, cull_px: float = 4.0, compact: bool = True) -> MapState:
+        """Final polish: optional loop-closure injection, capacity
+        right-sizing, cull + global BA, optional shared-intrinsics
+        refinement, then the optional densification sweep
+        (cfg.sweep.enabled) that restores reference-level cloud density.
+        Updates and returns the map.
+
+        compact: BA cost on the dense grid is capacity-proportional, so
+        the map is compacted and shrunk to ~1.25x its live point count
+        before the global solves (external track ids are remapped)."""
+        from sfm_mvs_tpu.models.refine import finalize_map
+
+        state = self.state.map
+        if compact:
+            state, remap = map_store.compact_points(state)
+            live = int(state.num_points)
+            cap = 1024
+            while cap < int(1.25 * live):
+                cap *= 2
+            state = map_store.shrink_map(state, cap)
+            P_new = state.points.shape[0]
+
+            def _remap(t):
+                safe = jnp.clip(t, 0, remap.shape[0] - 1)
+                new = jnp.where(t >= 0, remap[safe], -1)
+                return jnp.where(new < P_new, new, -1)
+
+            self._cam_tracks = [_remap(t) for t in self._cam_tracks]
+            self.state = self.state._replace(
+                map=state, prev_track=_remap(self.state.prev_track)
+            )
+        n_closed = 0
+        if (
+            self.config.loop_close_pairs > 0
+            and len(self._cam_tracks) == int(state.num_cams)
+        ):
+            from sfm_mvs_tpu.models import exhaustive
+
+            # Camera-aligned view graph (full O(C^2)) -> strongest
+            # non-adjacent pairs -> re-observation injection BOTH ways.
+            graph = exhaustive.build_view_graph(
+                self._cam_gray, self.config, feats=self._cam_feats
+            )
+            pairs = exhaustive.strongest_loop_pairs(
+                graph, self.config.loop_close_pairs
+            )
+            for i, j in pairs:
+                state, n1 = exhaustive.inject_reobservations(
+                    state, jnp.asarray(i), jnp.asarray(j),
+                    self._cam_feats[i], self._cam_feats[j],
+                    self._cam_tracks[i], self.config,
+                )
+                state, n2 = exhaustive.inject_reobservations(
+                    state, jnp.asarray(j), jnp.asarray(i),
+                    self._cam_feats[j], self._cam_feats[i],
+                    self._cam_tracks[j], self.config,
+                )
+                n_closed += int(n1) + int(n2)
+            self.state = self.state._replace(map=state)
+
+        state, info = finalize_map(state, cull_px=cull_px)
+        if n_closed:
+            info["loop_closure_obs"] = n_closed
+        if self.config.ba.refine_intrinsics:
+            from sfm_mvs_tpu.models import ba as ba_mod
+
+            state, ba_stats, intr = ba_mod.bundle_adjust_map_intrinsics(
+                state, max_iterations=self.config.ba.max_iterations
+            )
+            info["intrinsics"] = [float(x) for x in intr]
+        aligned = len(self._cam_feats) == int(state.num_cams)
+        if self.config.sweep.enabled and not aligned:
+            # Resumed runs don't retain pre-resume frames; the sweep
+            # needs a feature list aligned with camera ids.
+            import warnings
+
+            warnings.warn(
+                "densification sweep skipped: stored per-camera features "
+                "do not cover all registered cameras (resumed run?)"
+            )
+        if self.config.sweep.enabled and aligned:
+            from sfm_mvs_tpu.models import densify
+
+            state, sweep_info = densify.finalize_with_sweep(
+                state, self._cam_feats, self._cam_bgr, self.config,
+                cull_px=cull_px, images_gray=self._cam_gray,
+            )
+            info.update(sweep_info)
+        if self.metrics is not None:
+            self.metrics.log(event="finalize", **info)
+        self.finalize_info = info
+        self.state = self.state._replace(map=state)
+        return state
 
     def _record(self, frame: int, st: FrameStats, wall_s: float) -> None:
         d = self._stat_dict(frame, st)

@@ -135,6 +135,92 @@ def append_observations(
     )
 
 
+def compact_points(state: MapState) -> tuple[MapState, jnp.ndarray]:
+    """Move valid points to the front of the point axis (one jit-safe
+    masked scatter per array). Returns (state, remap) where remap[i] is a
+    point's new index (-1 for dropped slots) — callers holding external
+    track ids must remap them.
+
+    BA cost on the dense (P, C) grid is CAPACITY-proportional, so a map
+    whose live points are a fraction of capacity (after culling, or when
+    provisioned generously) pays for the dead slots every LM iteration;
+    compacting (+ shrink_map) right-sizes the grid before expensive
+    global solves."""
+    P = state.points.shape[0]
+    valid = state.point_valid
+    offs = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    dest = jnp.where(valid, offs, P)
+    z = jnp.zeros_like
+    return (
+        state._replace(
+            points=z(state.points).at[dest].set(state.points, mode="drop"),
+            colors=z(state.colors).at[dest].set(state.colors, mode="drop"),
+            point_valid=z(valid).at[dest].set(valid, mode="drop"),
+            obs_uv=z(state.obs_uv).at[dest].set(state.obs_uv, mode="drop"),
+            obs_mask=z(state.obs_mask).at[dest].set(state.obs_mask, mode="drop"),
+            num_points=jnp.sum(valid.astype(jnp.int32)),
+        ),
+        jnp.where(valid, offs, -1),
+    )
+
+
+def shrink_map(state: MapState, new_max_points: int) -> MapState:
+    """Slice the point axis down to `new_max_points` (host-side reshape;
+    requires a prior compact_points and all live points fitting)."""
+    if new_max_points >= state.points.shape[0]:
+        return state
+    assert int(state.num_points) <= new_max_points, "live points must fit"
+    return state._replace(
+        points=state.points[:new_max_points],
+        colors=state.colors[:new_max_points],
+        point_valid=state.point_valid[:new_max_points],
+        obs_uv=state.obs_uv[:new_max_points],
+        obs_mask=state.obs_mask[:new_max_points],
+    )
+
+
+def reorder_cameras(state: MapState, perm) -> MapState:
+    """Permute camera slots: new slot k holds old camera perm[k].
+
+    Used by the auto-bootstrap driver, which registers frames in view-graph
+    order and then restores frame order for export/evaluation. `perm` must
+    be a permutation of range(num_cams) (padded slots stay in place).
+    """
+    C = state.poses.shape[0]
+    perm = jnp.asarray(perm, jnp.int32)
+    full = jnp.concatenate(
+        [perm, jnp.arange(perm.shape[0], C, dtype=jnp.int32)]
+    )
+    return state._replace(
+        poses=state.poses[full],
+        cam_valid=state.cam_valid[full],
+        obs_uv=state.obs_uv[:, full],
+        obs_mask=state.obs_mask[:, full],
+    )
+
+
+def grow_map(state: MapState, new_max_points: int) -> MapState:
+    """Return a copy with point capacity enlarged to `new_max_points`.
+
+    Point indices are preserved (pure zero-padding along the point axis),
+    so track ids held outside the map stay valid. Used by the finalize
+    densification sweep: the registration loop runs at a right-sized
+    capacity (BA cost is capacity-proportional on the dense grid) and only
+    the one-time sweep pays for the bigger grid.
+    """
+    P = state.points.shape[0]
+    if new_max_points <= P:
+        return state
+    pad = new_max_points - P
+    return state._replace(
+        points=jnp.pad(state.points, ((0, pad), (0, 0))),
+        colors=jnp.pad(state.colors, ((0, pad), (0, 0))),
+        point_valid=jnp.pad(state.point_valid, ((0, pad),)),
+        obs_uv=jnp.pad(state.obs_uv, ((0, pad), (0, 0), (0, 0))),
+        obs_mask=jnp.pad(state.obs_mask, ((0, pad), (0, 0))),
+    )
+
+
 def update_points(state: MapState, point_ids: jnp.ndarray, X: jnp.ndarray, valid: jnp.ndarray) -> MapState:
     """Overwrite existing points (BA write-back)."""
     capacity = state.points.shape[0]

@@ -153,6 +153,16 @@ class GlobalSfM:
         )
         d0, d1 = triangulation.triangulation_depths(pose0, pose1, X)
         pvalid = tvalid[0] & tvalid[1] & (d0 > 0) & (d1 > 0)
+        err1 = projection.masked_mean_reprojection_error(
+            X, tracks[1], pose1, K, pvalid
+        )
+        self.stats.append(
+            {
+                "frame": 1,
+                "pnp_inliers": int(jnp.sum(pvalid)),
+                "reproj_error": float(err1),
+            }
+        )
 
         # 4. Register every later camera by PnP against this one cloud
         #    (test.py:315-326), then collect per-camera observations.
@@ -168,8 +178,15 @@ class GlobalSfM:
                 use_p3p=cfg.ransac.pnp_use_p3p,
             )
             poses.append(res.model)
+            err_i = projection.masked_mean_reprojection_error(
+                X, uv_i, res.model, K, res.inliers
+            )
             self.stats.append(
-                {"frame": i, "pnp_inliers": int(res.num_inliers)}
+                {
+                    "frame": i,
+                    "pnp_inliers": int(res.num_inliers),
+                    "reproj_error": float(err_i),
+                }
             )
 
         # 5. Materialize the map: cameras, points, per-frame observations.

@@ -118,6 +118,40 @@ class BaConfig:
     damping_up: float = 4.0
     damping_down: float = 2.0
     local_window: int = 0  # 0 = global BA; else optimize last-K cameras
+    # Refine the shared [focal_scale, k1, k2] block during the FINAL
+    # global BA (the notebook prototype's f/k1/k2 camera params,
+    # checkpoint cells 3-7). Off by default: the reference pipeline
+    # trusts its calibrated K (sfm.py:16).
+    refine_intrinsics: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class SweepConfig:
+    """Final densification sweep (reference semantics: the accumulate-
+    everything loop sfm.py:387-395 / the test.py final sweep test.py:339-380).
+
+    After all poses are registered and bundle-adjusted, every adjacent
+    frame pair is re-matched and ALL ratio-surviving matches that
+    triangulate cleanly are appended to the cloud (deduplicated against
+    the map by projected pixel distance + depth agreement). This recovers
+    the reference's cloud density (19,282 points on Gustav) that the
+    registration loop's conservative track management intentionally
+    avoids carrying through per-frame BA.
+    """
+
+    enabled: bool = False
+    reproj_px: float = 1.5  # both-view reprojection gate for new points
+    dedup_px: float = 1.0  # projected-pixel radius for map duplicates
+    dedup_depth_rel: float = 0.05  # relative depth agreement for duplicates
+    grow_points: int = 65_536  # enlarge the map to this capacity first
+    pair_strides: Tuple[int, ...] = (1,)  # sweep pairs (i, i+s) per stride s
+    final_ba_iters: int = 8  # polish BA after the sweep (0 = skip)
+    # Sweep-time re-detection: the registration loop runs a right-sized
+    # feature budget (detection is its per-frame bottleneck); the one-time
+    # sweep can afford a much denser budget. 0 = reuse the run's features.
+    max_features: int = 0
+    contrast_threshold: float = 0.0  # 0 = inherit frontend's
+    lowe_ratio: float = 0.0  # 0 = inherit frontend's
 
 
 @dataclasses.dataclass(frozen=True)
@@ -146,10 +180,22 @@ class SfmConfig:
     output_dir: str = "Point_Cloud"
     max_images: Optional[int] = None
 
+    # Bootstrap pair selection: "seq" = frames (0, 1) exactly like the
+    # reference (sfm.py:300-302); "auto" = the strongest sufficient-
+    # parallax pair from the view graph (the completed isfm.py), with
+    # registration walking outward from it.
+    bootstrap: str = "seq"
+    # Inject re-observations from the top-K strong NON-adjacent view-graph
+    # pairs before the final BA (loop closures). 0 = off.
+    loop_close_pairs: int = 0
+    # Pair window for the bootstrap view graph (0 = exhaustive O(N^2)).
+    view_graph_window: int = 8
+
     frontend: FrontendConfig = dataclasses.field(default_factory=FrontendConfig)
     ransac: RansacConfig = dataclasses.field(default_factory=RansacConfig)
     ba: BaConfig = dataclasses.field(default_factory=BaConfig)
     map: MapConfig = dataclasses.field(default_factory=MapConfig)
+    sweep: SweepConfig = dataclasses.field(default_factory=SweepConfig)
 
     # Cloud export semantics (sfm.py:170-181): x200 scale, mean+300 cutoff.
     ply_scale: float = 200.0
