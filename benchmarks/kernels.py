@@ -20,14 +20,16 @@ import time
 import numpy as np
 
 
-def timeit(fn, *args, iters=20):
+def timeit(fn, iters=20):
+    """fn(i) -> output; MUST vary its computation with i. The axon tunnel
+    dedups identical in-flight dispatches (CLAUDE.md timing pitfall), so
+    repeating one dispatch under-reports arbitrarily."""
     import jax
 
-    jax.block_until_ready(fn(*args))
+    jax.block_until_ready(fn(0))
     t0 = time.time()
-    for _ in range(iters):
-        r = fn(*args)
-    jax.block_until_ready(r)
+    keep = [fn(1 + i) for i in range(iters)]
+    jax.block_until_ready(keep)
     return (time.time() - t0) / iters
 
 
@@ -60,10 +62,11 @@ def main():
     d1 = jnp.asarray(rng.random((4096, 128), dtype=np.float64).astype(np.float32))
     v = jnp.ones(4096, dtype=bool)
     fl = 2 * 4096 * 4096 * 128
-    emit("knn_match_xla", timeit(lambda: matching.knn_match(d0, d1, v, v)), flops=fl)
+    emit("knn_match_xla",
+         timeit(lambda i: matching.knn_match(d0 + 1e-4 * i, d1, v, v)), flops=fl)
     emit(
         "knn_match_pallas",
-        timeit(lambda: knn_match_pallas(d0, d1, v, v)),
+        timeit(lambda i: knn_match_pallas(d0 + 1e-4 * i, d1, v, v)),
         flops=fl,
     )
 
@@ -78,7 +81,7 @@ def main():
     )
     emit(
         "sift_detect_968x648",
-        timeit(lambda: sift.detect_and_compute(img, cfg), iters=5),
+        timeit(lambda i: sift.detect_and_compute(img + 1e-5 * i, cfg), iters=5),
         note="4 octaves, upsampled, 4096 features",
     )
 
@@ -91,7 +94,7 @@ def main():
     u0 = jnp.asarray(uv0.astype(np.float32))
     u1 = jnp.asarray(uv1.astype(np.float32))
     tri = jax.jit(triangulation.triangulate_euclidean)
-    emit("triangulate_8192", timeit(lambda: tri(P0, P1, u0, u1)))
+    emit("triangulate_8192", timeit(lambda i: tri(P0, P1, u0 + 1e-5 * i, u1)))
 
     # --- E-RANSAC (2048 hypotheses x 4096 correspondences) ---
     Kj = jnp.asarray(scene.K)
@@ -102,7 +105,8 @@ def main():
     emit(
         "ransac_essential_2048x4096",
         timeit(
-            lambda: ransac.ransac_essential(key, n0, n1, mask, Kj[0, 0], iters=2048),
+            lambda i: ransac.ransac_essential(
+                jax.random.PRNGKey(i), n0, n1, mask, Kj[0, 0], iters=2048),
             iters=5,
         ),
     )
@@ -126,12 +130,35 @@ def main():
             jnp.ones(20000, dtype=bool),
         )
     t = timeit(
-        lambda: ba.bundle_adjust_map(state, max_iterations=8, cg_iters=15)[1].final_cost,
+        lambda i: ba.bundle_adjust_map(
+            state._replace(points=state.points + 1e-6 * i),
+            max_iterations=8, cg_iters=15)[1].final_cost,
         iters=5,
     )
     emit(
         "ba_8lm_200k_obs", t,
         note=f"LM iters/s = {8 / t:.1f} (reference: dense TRF ~30s/frame)",
+    )
+
+    # --- Plane-sweep MVS at config-4 scale (480x360, 64 depths, 2 nbrs) ---
+    from sfm_mvs_tpu.models import mvs
+
+    imgs, Rt, Km = render_staircase_sequence(
+        num_cameras=3, arc_degrees=10, image_size=(480, 360), focal=600.0
+    )
+    ref = jnp.asarray(imgs[1])
+    nbrs = jnp.stack([jnp.asarray(imgs[0]), jnp.asarray(imgs[2])])
+    t = timeit(
+        lambda i: mvs.plane_sweep_depth(
+            ref + 1e-5 * i, nbrs, jnp.asarray(Rt[1]), jnp.asarray(Rt[[0, 2]]),
+            jnp.asarray(Km), jnp.asarray(5.0), jnp.asarray(12.0),
+            num_depths=64,
+        ).depth,
+        iters=5,
+    )
+    emit(
+        "plane_sweep_480x360_64d_2n", t,
+        note=f"{480 * 360 * 64 * 2 / t / 1e9:.2f} Gsamples/s warp+cost",
     )
 
     print(json.dumps({"kernels": out}))

@@ -29,6 +29,14 @@ SCENARIOS = [
 
 
 def main():
+    import jax
+
+    # Honor JAX_PLATFORMS under the sitecustomize axon default (the env
+    # var alone is too late; config updates before first backend use work).
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+    solver = os.environ.get("QUALITY_SOLVER", "8pt")
     from sfm_mvs_tpu.models.incremental import IncrementalSfM
     from sfm_mvs_tpu.models.refine import finalize_map
     from sfm_mvs_tpu.utils import evaluate
@@ -43,12 +51,15 @@ def main():
             num_cameras=sc["frames"], arc_degrees=sc["arc"],
             depth_spread=sc["spread"], image_size=sc["size"], focal=focal,
         )
+        from sfm_mvs_tpu.utils.config import RansacConfig
+
         cfg = SfmConfig(
             fx=focal, fy=focal, cx=W / 2, cy=H / 2, downscale=1,
             frontend=FrontendConfig(
                 max_features=1024, num_octaves=3, upsample_input=True,
                 contrast_threshold=0.015, lowe_ratio=0.75,
             ),
+            ransac=RansacConfig(essential_solver=solver),
             map=MapConfig(max_cameras=16, max_points=16384),
         )
         sfm = IncrementalSfM(cfg)

@@ -74,8 +74,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "global BA (notebook prototype's camera model)")
     p.add_argument("--batch-detect", type=int, default=0,
                    help="pre-detect features in vmapped batches of this size")
-    p.add_argument("--pallas-matcher", action="store_true",
-                   help="use the fused Pallas 2-NN matching kernel")
+    p.add_argument("--no-pallas-matcher", action="store_true",
+                   help="use the XLA matmul+top2 matcher instead of the "
+                        "fused Pallas 2-NN kernel (default on TPU: Pallas, "
+                        "measured 5x faster at 4096x4096x128)")
     p.add_argument("--no-merge", action="store_true",
                    help="disable re-observation track merging")
     p.add_argument("--finalize", action="store_true",
@@ -118,7 +120,7 @@ def config_from_args(args) -> "SfmConfig":
             lowe_ratio=args.lowe_ratio,
             contrast_threshold=args.contrast_threshold,
             upsample_input=not args.no_upsample,
-            use_pallas_matcher=args.pallas_matcher,
+            use_pallas_matcher=not args.no_pallas_matcher,
             grad_sampling=args.grad_sampling,
         ),
         ransac=RansacConfig(

@@ -256,6 +256,43 @@ def geometric_consistency(
     return DepthMap(depth=dm_ref.depth, confidence=dm_ref.confidence, valid=valid)
 
 
+# Batched plane sweep: vmap over the reference-frame axis. All per-ref
+# work (warps, cost volumes, argmin) is independent, so the batch axis is
+# embarrassingly parallel — it shards across a device mesh unchanged.
+@partial(jax.jit, static_argnames=("num_depths", "cost_radius"))
+def _plane_sweep_batch(
+    ref_b, nbr_b, pose_b, nposes_b, K, lo_b, hi_b,
+    num_depths: int = 64, cost_radius: int = 2,
+):
+    def one(ref, nbrs, pose, nposes, lo, hi):
+        return plane_sweep_depth.__wrapped__(
+            ref, nbrs, pose, nposes, K, lo, hi,
+            num_depths=num_depths, cost_radius=cost_radius,
+        )
+
+    return jax.vmap(one)(ref_b, nbr_b, pose_b, nposes_b, lo_b, hi_b)
+
+
+@partial(jax.jit, static_argnames=())
+def _depth_ranges(state: MapState) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-camera (min_depth, max_depth) from the sparse cloud — one jit
+    over the whole map (replaces a per-frame host percentile loop).
+
+    Uses the 2%/98% quantiles of the positive point depths per camera,
+    widened by 0.7x/1.4x like the reference-free heuristic.
+    """
+    R = state.poses[:, :, :3]  # (C, 3, 3)
+    t = state.poses[:, :, 3]  # (C, 3)
+    z = jnp.einsum("pj,cj->cp", state.points, R[:, 2]) + t[:, 2:3].reshape(-1, 1)
+    ok = state.point_valid[None, :] & (z > 0)
+    zq = jnp.where(ok, z, jnp.nan)
+    lo = jnp.nanquantile(zq, 0.02, axis=1)
+    hi = jnp.nanquantile(zq, 0.98, axis=1)
+    lo = jnp.where(jnp.isnan(lo), 1.0, lo)
+    hi = jnp.where(jnp.isnan(hi), 10.0, hi)
+    return lo * 0.7, hi * 1.4
+
+
 def densify_map(
     images_gray: Sequence[np.ndarray],
     state: MapState,
@@ -265,20 +302,28 @@ def densify_map(
     images_bgr: Optional[Sequence[np.ndarray]] = None,
     geometric_check: bool = True,
     geo_rel_tol: float = 0.03,
+    batch: int = 4,
+    mesh=None,
 ):
     """Plane-sweep every frame, cross-check depths, fuse a colored cloud.
 
-    Two passes: (1) per-frame plane-sweep depth maps (range from the
-    sparse map's point depths); (2) cross-view geometric-consistency
-    filtering — a pixel survives only if a neighbor's depth map agrees
-    with its 3D position — then back-projection. Returns (points (N,3),
-    colors (N,3)) ready for io.to_ply (dense.ply — the output slot the
-    reference declared but never produced, sfm.py:199/298).
+    Two passes: (1) plane-sweep depth maps in vmapped BATCHES of reference
+    frames (one dispatch per `batch` frames — no per-frame host syncs;
+    depth ranges come from one jitted quantile pass over the sparse map);
+    (2) cross-view geometric-consistency filtering — a pixel survives only
+    if a neighbor's depth map agrees with its 3D position — then
+    back-projection. With `mesh`, the batch axis is sharded across the
+    mesh's devices (reference frames are data-parallel) and `batch` is
+    rounded up to the device count. Returns (points (N,3), colors (N,3))
+    ready for io.to_ply (dense.ply — the output slot the reference
+    declared but never produced, sfm.py:199/298).
     """
     n_cams = int(state.num_cams)
     K = state.K
-    pts = np.asarray(state.points)
-    pvalid = np.asarray(state.point_valid)
+    if mesh is not None:
+        n_dev = int(np.prod(mesh.devices.shape))
+        batch = max(batch, n_dev)
+        batch = ((batch + n_dev - 1) // n_dev) * n_dev
 
     def neighbors(r):
         return [
@@ -287,27 +332,46 @@ def densify_map(
             if i != r
         ]
 
-    # Pass 1: depth maps.
+    lo_all, hi_all = _depth_ranges(state)
+    imgs_dev = [jnp.asarray(g) for g in images_gray[:n_cams]]
+    M = max(len(neighbors(r)) for r in range(n_cams))
+
+    # Pass 1: depth maps, one vmapped dispatch per batch of refs.
     depth_maps: dict[int, DepthMap] = {}
-    for r in range(n_cams):
-        pose_r = state.poses[r]
-        Xc = pts[pvalid] @ np.asarray(pose_r[:, :3]).T + np.asarray(pose_r[:, 3])
-        z = Xc[:, 2]
-        z = z[z > 0]
-        if len(z) < 10:
-            continue
-        dmin = float(np.percentile(z, 2) * 0.7)
-        dmax = float(np.percentile(z, 98) * 1.4)
-        nbrs = neighbors(r)
-        depth_maps[r] = plane_sweep_depth(
-            jnp.asarray(images_gray[r]),
-            jnp.stack([jnp.asarray(images_gray[i]) for i in nbrs]),
-            pose_r,
-            jnp.stack([state.poses[i] for i in nbrs]),
-            K,
-            jnp.asarray(dmin), jnp.asarray(dmax),
+    refs = list(range(n_cams))
+    for s in range(0, len(refs), batch):
+        chunk = refs[s : s + batch]
+        pad = batch - len(chunk)
+        chunk_p = chunk + [chunk[-1]] * pad
+        ref_b = jnp.stack([imgs_dev[r] for r in chunk_p])
+        # Pad each ref's neighbor list to M by repeating its first
+        # neighbor (a duplicated view only re-votes the same evidence).
+        nbr_idx = [
+            (neighbors(r) + [neighbors(r)[0]] * M)[:M] for r in chunk_p
+        ]
+        nbr_b = jnp.stack(
+            [jnp.stack([imgs_dev[i] for i in nn]) for nn in nbr_idx]
+        )
+        pose_b = state.poses[jnp.asarray(chunk_p)]
+        nposes_b = state.poses[jnp.asarray(nbr_idx)]
+        lo_b = lo_all[jnp.asarray(chunk_p)]
+        hi_b = hi_all[jnp.asarray(chunk_p)]
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            ax = mesh.axis_names[0]
+            shard = lambda a: jax.device_put(
+                a, NamedSharding(mesh, P(*([ax] + [None] * (a.ndim - 1))))
+            )
+            ref_b, nbr_b = shard(ref_b), shard(nbr_b)
+            pose_b, nposes_b = shard(pose_b), shard(nposes_b)
+            lo_b, hi_b = shard(lo_b), shard(hi_b)
+        dms = _plane_sweep_batch(
+            ref_b, nbr_b, pose_b, nposes_b, K, lo_b, hi_b,
             num_depths=num_depths,
         )
+        for j, r in enumerate(chunk):
+            depth_maps[r] = jax.tree_util.tree_map(lambda a: a[j], dms)
 
     # Pass 2: cross-view consistency + fusion.
     all_pts, all_cols = [], []

@@ -96,11 +96,14 @@ def match_with_config(desc0, desc1, valid0, valid1, cfg) -> "Matches":
     """Dispatch to the Pallas fused kernel or the XLA path per config.
 
     cfg: FrontendConfig. The Pallas kernel (matching_pallas.py) streams
-    train tiles through VMEM (the distance matrix never reaches HBM) —
-    preferable at large feature capacities; the XLA path supports the
-    mutual check and is the default.
+    train tiles through VMEM (the distance matrix never reaches HBM) and
+    is the DEFAULT on TPU: measured 7.2ms vs 36.4ms for the XLA path at
+    4096x4096x128 on v5e (chained-dispatch timing; 100% match agreement
+    on real descriptors). The XLA path serves CPU tests, the mutual
+    check, and --no-pallas-matcher.
     """
-    if getattr(cfg, "use_pallas_matcher", False) and not cfg.mutual_check:
+    on_tpu = jax.default_backend() == "tpu"
+    if getattr(cfg, "use_pallas_matcher", True) and not cfg.mutual_check and on_tpu:
         from sfm_mvs_tpu.ops.matching_pallas import knn_match_pallas
 
         return knn_match_pallas(desc0, desc1, valid0, valid1, ratio=cfg.lowe_ratio)

@@ -70,28 +70,33 @@ def ransac_essential(
     5-point but refit recovers the precision).
 
     solver: "8pt" (8-point + manifold projection — cheap, but degenerate on
-    planar scenes) or "5pt" (Nister minimal solver, the reference's actual
+    planar scenes), "5pt" (Nister minimal solver, the reference's actual
     OpenCV solver, five_point.py — exact on planar scenes and far more
     sample-efficient at low inlier ratios: each sample yields up to 10
-    hypotheses, so `iters` samples score `10*iters` models).
+    hypotheses, so `iters` samples score `10*iters` models), or "both"
+    (joint hypothesis pool — 8pt's `iters` samples plus 5pt's `iters//4`
+    samples scored together, the same multi-family design as ransac_pnp;
+    the inlier count auto-selects whichever family fits the data, so
+    small-N / planar / low-inlier pairs get Nister robustness while dense
+    well-conditioned pairs keep the cheap 8pt winners).
     """
     N = norm0.shape[0]
     count, cmask, c0, c1 = masking.compact(mask, norm0, norm1)
-    k1, _ = jax.random.split(key)
+    k1, k2 = jax.random.split(key)
 
-    if solver == "5pt":
-        idx = _sample_indices(k1, iters, 5, count, N)
+    def hyps_5pt(key5, n_samples):
+        idx = _sample_indices(key5, n_samples, 5, count, N)
 
         def solve5(sample_idx):
             return five_point.essential_five_point(
                 c0[sample_idx], c1[sample_idx]
             )
 
-        Es, valid = jax.vmap(solve5)(idx)  # (iters, 10, 3, 3), (iters, 10)
-        Es = Es.reshape(-1, 3, 3)
-        hyp_valid = valid.reshape(-1)
-    else:
-        idx = _sample_indices(k1, iters, 8, count, N)
+        Es, valid = jax.vmap(solve5)(idx)  # (S, 10, 3, 3), (S, 10)
+        return Es.reshape(-1, 3, 3), valid.reshape(-1)
+
+    def hyps_8pt(key8, n_samples):
+        idx = _sample_indices(key8, n_samples, 8, count, N)
 
         def solve(sample_idx):
             # SVD hypotheses: the eigh form's ~1.3px null-vector noise
@@ -103,7 +108,18 @@ def ransac_essential(
                 c0[sample_idx], c1[sample_idx]
             )
 
-        Es = jax.vmap(solve)(idx)  # (iters, 3, 3)
+        Es = jax.vmap(solve)(idx)  # (S, 3, 3)
+        return Es, jnp.ones(Es.shape[0], bool)
+
+    if solver == "5pt":
+        Es, hyp_valid = hyps_5pt(k1, iters)
+    elif solver == "both":
+        E8, v8 = hyps_8pt(k1, iters)
+        E5, v5 = hyps_5pt(k2, max(iters // 4, 1))
+        Es = jnp.concatenate([E8, E5], axis=0)
+        hyp_valid = jnp.concatenate([v8, v5], axis=0)
+    else:
+        Es, _ = hyps_8pt(k1, iters)
         hyp_valid = None
 
     def score(E):

@@ -51,8 +51,11 @@ class FrontendConfig:
     # sizes/budgets must be checked on TPU (benchmarks/quality.py runs the
     # matrix with approx_topk both on and off for this).
     approx_topk: bool = True
-    # Matching
-    use_pallas_matcher: bool = False  # fused VMEM-streaming 2-NN kernel
+    # Matching. The fused VMEM-streaming 2-NN Pallas kernel is the default
+    # on TPU: 7.2ms vs 36.4ms for the XLA matmul+top2 path at
+    # 4096x4096x128 on v5e (chained-dispatch timing, 100% agreement with
+    # the XLA path on real descriptors). CPU (tests) always uses XLA.
+    use_pallas_matcher: bool = True
     lowe_ratio: float = 0.70  # sfm.py:264
     mutual_check: bool = False  # reference BFMatcher.knnMatch is one-directional
     max_matches: int = 4096  # fixed capacity

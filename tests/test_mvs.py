@@ -85,6 +85,68 @@ def test_densify_map(scene):
     assert (np.abs(pts[:, 2]) < 3.0).mean() > 0.9
 
 
+def test_plane_sweep_480x360():
+    """Real-scale check (VERDICT: MVS validated beyond toy size): median
+    relative depth error at 480x360 stays within 3%."""
+    imgs, Rt, K, depths_gt = render_staircase_sequence(
+        num_cameras=3, arc_degrees=10, image_size=(480, 360), focal=600.0,
+        return_depth=True,
+    )
+    dm = mvs.plane_sweep_depth(
+        jnp.asarray(imgs[1]),
+        jnp.stack([jnp.asarray(imgs[0]), jnp.asarray(imgs[2])]),
+        jnp.asarray(Rt[1]),
+        jnp.asarray(Rt[[0, 2]]),
+        jnp.asarray(K),
+        jnp.asarray(5.0), jnp.asarray(12.0),
+        num_depths=64,
+    )
+    d = np.asarray(dm.depth)
+    v = np.asarray(dm.valid)
+    gt = depths_gt[1]
+    mask = v & (gt > 0)
+    assert mask.mean() > 0.25
+    rel_err = np.abs(d[mask] - gt[mask]) / gt[mask]
+    assert np.median(rel_err) < 0.03
+
+
+def test_densify_sharded_matches_single(scene):
+    """The batch axis shards across the virtual mesh; the fused cloud must
+    match the unsharded run."""
+    import jax
+    from sfm_mvs_tpu.parallel import mesh as meshlib
+
+    imgs, Rt, K, depths_gt = scene
+    state = map_store.init_map(
+        jnp.asarray(K), MapConfig(max_cameras=4, max_points=4096)
+    )
+    for c in range(3):
+        state, _ = map_store.append_camera(state, jnp.asarray(Rt[c]))
+    rng = np.random.default_rng(0)
+    ys = rng.integers(0, 120, 300)
+    xs = rng.integers(0, 160, 300)
+    z = depths_gt[1][ys, xs]
+    ok = z > 0
+    Kinv = np.linalg.inv(K)
+    rays = np.stack([xs, ys, np.ones_like(xs)], -1) @ Kinv.T
+    Xc = rays * z[:, None]
+    Xw = (Xc - Rt[1][:, 3]) @ Rt[1][:, :3]
+    state, _ = map_store.append_points(
+        state, jnp.asarray(Xw.astype(np.float32)), jnp.zeros((300, 3)),
+        jnp.asarray(ok),
+    )
+    mesh = meshlib.make_mesh((4,), ("data",), devices=jax.devices()[:4])
+    pts_sh, _ = mvs.densify_map(
+        imgs, state, num_depths=48, stride=4, mesh=mesh
+    )
+    pts_1, _ = mvs.densify_map(imgs, state, num_depths=48, stride=4)
+    assert pts_sh.shape == pts_1.shape
+    # Different compilations (sharded vs not) may flip argmin ties on a
+    # handful of pixels; require near-total agreement, not bitwise.
+    close = (np.abs(pts_sh - pts_1).max(axis=1) < 1e-3)
+    assert close.mean() > 0.98
+
+
 def test_geometric_consistency_removes_leaks(scene):
     imgs, Rt, K, depths_gt = scene
     import jax.numpy as jnp
