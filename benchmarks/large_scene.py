@@ -1,10 +1,21 @@
 """Large-sequence stress benchmark (BASELINE.json config 4 scale).
 
-A 120-frame sequence with BA every 5 frames and checkpointing — exercises
-capacity growth, cadence BA, the rejection guard and resume machinery at
-several times the Gustav scale. Prints a JSON summary line.
+A 250-frame sequence registered with SLIDING-WINDOW local BA
+(ba.bundle_adjust_window) — a static-shape sub-problem over the last
+Wc cameras x Wp point slots whose cost is independent of map capacity —
+then a one-time finalize (compact + cull + global BA). This is the
+scale-out answer to the round-2 collapse (2.1 frames/s at 120 cameras
+with cadence-5 GLOBAL BA, whose dense-grid cost grows with BOTH map
+axes).
 
-    python benchmarks/large_scene.py
+Per-segment wall times are recorded to demonstrate the cost model:
+frames/s must stay ~flat as the camera count grows (windowed BA), where
+the round-2 configuration slowed down linearly in C.
+
+    python benchmarks/large_scene.py            # 250 frames, 480x360
+    LARGE_FRAMES=120 python benchmarks/large_scene.py
+
+Writes artifacts/LARGE_SCENE_r03.json and prints a JSON summary line.
 """
 
 from __future__ import annotations
@@ -19,11 +30,20 @@ import time
 
 import numpy as np
 
-N_FRAMES = int(os.environ.get("LARGE_FRAMES", "120"))
+N_FRAMES = int(os.environ.get("LARGE_FRAMES", "250"))
+BA_CADENCE = int(os.environ.get("LARGE_BA_CADENCE", "1"))
+MAX_CAMS = int(os.environ.get("LARGE_MAX_CAMS", "256"))
+MAX_POINTS = int(os.environ.get("LARGE_MAX_POINTS", "131072"))
+SEGMENT = 25  # frames per timing segment (host sync only at boundaries)
 
 
 def main():
     import jax
+
+    # Honor JAX_PLATFORMS under the sitecustomize axon default (the env
+    # var alone is too late; config updates before first backend use work).
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import jax.numpy as jnp
 
     from sfm_mvs_tpu.models import ba, map_store
@@ -37,12 +57,16 @@ def main():
 
     W, H = 480, 360
     focal = 600.0
+    # Arc scaled with frame count so per-step parallax stays at the
+    # round-2 level (70 deg / 120 frames = 0.58 deg/step).
+    arc = min(0.58 * N_FRAMES, 170.0)
     t0 = time.time()
     imgs, Rt_gt, K = render_staircase_sequence(
         num_cameras=N_FRAMES, image_size=(W, H), focal=focal,
-        radius=9.0, arc_degrees=70.0, num_strips=12, depth_spread=2.0,
+        radius=9.0, arc_degrees=arc, num_strips=12, depth_spread=2.0,
     )
-    print(f"rendered {N_FRAMES} frames in {time.time()-t0:.1f}s", file=sys.stderr)
+    print(f"rendered {N_FRAMES} frames ({arc:.0f} deg arc) in "
+          f"{time.time()-t0:.1f}s", file=sys.stderr)
 
     cfg = SfmConfig(
         fx=focal, fy=focal, cx=W / 2, cy=H / 2, downscale=1,
@@ -51,7 +75,7 @@ def main():
             contrast_threshold=0.012, lowe_ratio=0.75,
         ),
         ransac=RansacConfig(essential_iters=1024, pnp_iters=1024),
-        map=MapConfig(max_cameras=128, max_points=65536),
+        map=MapConfig(max_cameras=MAX_CAMS, max_points=MAX_POINTS),
     )
     Kj = jnp.asarray(cfg.intrinsic_matrix())
     stack8 = jax.device_put(np.stack([(g * 255).astype(np.uint8) for g in imgs]))
@@ -62,27 +86,56 @@ def main():
     def bgr(img8):
         return jnp.repeat(img8[..., None], 3, -1).astype(jnp.float32)
 
+    wp = min(16_384, MAX_POINTS)
+
+    def window_ba(state):
+        state, _ = ba.bundle_adjust_window(
+            state, window_cams=16, window_points=wp,
+            max_iterations=6, cg_iters=12,
+        )
+        return state
+
     key = jax.random.PRNGKey(0)
     keys = jax.random.split(key, N_FRAMES + 1)
+    t0 = time.time()
     f0, f1 = detect(stack8[0]), detect(stack8[1])
     pstate, _ = init_from_bootstrap(keys[0], f0, f1, bgr(stack8[1]), Kj, cfg)
+    pstate = pstate._replace(map=window_ba(pstate.map))
     jax.block_until_ready(pstate.map.points)
+    print(f"compile+bootstrap {time.time()-t0:.1f}s", file=sys.stderr)
 
     t0 = time.time()
-    accepted = 1
+    seg_t = t0
+    segments = []  # (last_frame, frames/s within segment)
     for i in range(2, N_FRAMES):
         f = detect(stack8[i])
         pstate, st = register_frame(keys[i], pstate, f, bgr(stack8[i]), cfg)
-        if i % 5 == 0:
-            mstate, _ = ba.bundle_adjust_map(pstate.map, max_iterations=6, cg_iters=12)
-            pstate = pstate._replace(map=mstate)
+        if i % BA_CADENCE == 0:
+            pstate = pstate._replace(map=window_ba(pstate.map))
+        if (i - 1) % SEGMENT == 0 or i == N_FRAMES - 1:
+            jax.block_until_ready(pstate.map.points)
+            now = time.time()
+            segments.append(
+                {"through_frame": i, "fps": round(SEGMENT / max(now - seg_t, 1e-9), 2)}
+            )
+            seg_t = now
     jax.block_until_ready(pstate.map.points)
     elapsed = time.time() - t0
 
-    # Final polish: cull + global BA (models/refine.py).
+    # One-time finalize: compact (BA cost is capacity-proportional on the
+    # dense grid) -> cull + global BA.
     from sfm_mvs_tpu.models.refine import finalize_map
 
-    state, fin = finalize_map(pstate.map, max_iterations=15)
+    t_fin = time.time()
+    state, _ = map_store.compact_points(pstate.map)
+    live = int(state.num_points)
+    cap = 1024
+    while cap < int(1.25 * live):
+        cap *= 2
+    state = map_store.shrink_map(state, cap)
+    state, fin = finalize_map(state, max_iterations=15)
+    fin_wall = time.time() - t_fin
+
     n_cams = int(np.asarray(state.cam_valid).sum())
     poses = np.asarray(state.poses)[np.asarray(state.cam_valid)]
     ate = (
@@ -93,13 +146,36 @@ def main():
     result = {
         "metric": "large_scene_sfm",
         "frames": N_FRAMES,
+        "arc_degrees": round(arc, 1),
+        "resolution": [W, H],
+        "ba": {
+            "mode": "windowed",
+            "window_cams": 16,
+            "window_points": 16_384,
+            "cadence": BA_CADENCE,
+            "iters": 6,
+        },
         "frames_per_s": round((N_FRAMES - 2) / elapsed, 3),
+        "segments": segments,
         "cameras": n_cams,
-        "points": int(state.num_points),
+        "points": live,
         "observations": int(map_store.num_observations(state)),
         "ate": round(float(ate), 5),
         "finalize": fin,
+        "finalize_wall_s": round(fin_wall, 1),
+        "cost_model": (
+            "windowed BA evaluates a fixed (16384, 16) sub-grid per call "
+            "(O(Wp*Wc), capacity-independent); segment fps flat vs camera "
+            "count is the evidence. Global-grid BA (round 2) was O(P*C) "
+            "per call: 2.1 fps at C=120."
+        ),
     }
+    os.makedirs(os.path.join(os.path.dirname(__file__), "..", "artifacts"), exist_ok=True)
+    with open(
+        os.path.join(os.path.dirname(__file__), "..", "artifacts", "LARGE_SCENE_r03.json"),
+        "w",
+    ) as fh:
+        json.dump(result, fh, indent=1)
     print(json.dumps(result))
 
 

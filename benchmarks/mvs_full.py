@@ -1,0 +1,170 @@
+"""Full-resolution MVS artifact: dense.ply at the reference's 968x648.
+
+Fills, at full scale, the output slot the reference declared but never
+produced (`densify = False`, sfm.py:298; `Point_Cloud/dense.ply` branch at
+sfm.py:199): sparse SfM over the 57-frame bench scene, then plane-sweep
+MVS + cross-view geometric consistency + fusion, with depth accuracy
+quantified against the renderer's ground-truth depth maps
+(render_staircase_sequence(return_depth=True)).
+
+Scale note: the reconstruction is defined up to a similarity transform,
+so estimated depths are compared as s * d_est vs d_gt with s from the
+Umeyama alignment of camera centers.
+
+    python benchmarks/mvs_full.py          # 57 frames @ 968x648
+    MVS_SMALL=1 python benchmarks/mvs_full.py   # 20 frames @ 320x240 smoke
+
+Writes artifacts/MVS_r03.json and artifacts/dense.ply.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+SMALL = os.environ.get("MVS_SMALL", "0") == "1"
+N_FRAMES = int(os.environ.get("MVS_FRAMES", "20" if SMALL else "57"))
+IMAGE_SIZE = (320, 240) if SMALL else (968, 648)
+NUM_DEPTHS = int(os.environ.get("MVS_DEPTHS", "64"))
+STRIDE = int(os.environ.get("MVS_STRIDE", "2"))
+ART = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "artifacts")
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+
+    # Honor JAX_PLATFORMS under the sitecustomize axon default.
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    import jax.numpy as jnp
+
+    from sfm_mvs_tpu.models import ba, mvs
+    from sfm_mvs_tpu.models.incremental import init_from_bootstrap, register_frame
+    from sfm_mvs_tpu.ops import sift
+    from sfm_mvs_tpu.utils import evaluate, io as sfm_io
+    from sfm_mvs_tpu.utils.config import (
+        FrontendConfig, MapConfig, RansacConfig, SfmConfig,
+    )
+    from sfm_mvs_tpu.utils.synthetic import render_staircase_sequence
+
+    W, H = IMAGE_SIZE
+    focal = 1200.0 * W / 968.0
+    t0 = time.time()
+    imgs, Rt_gt, K, gt_depths = render_staircase_sequence(
+        num_cameras=N_FRAMES, image_size=IMAGE_SIZE, focal=focal,
+        radius=9.0, arc_degrees=50.0, num_strips=10, depth_spread=2.0,
+        return_depth=True,
+    )
+    log(f"rendered {N_FRAMES} frames {W}x{H} (+GT depth) in {time.time()-t0:.1f}s")
+
+    cfg = SfmConfig(
+        fx=focal, fy=focal, cx=W / 2.0, cy=H / 2.0, downscale=1,
+        frontend=FrontendConfig(
+            max_features=4096, num_octaves=4, upsample_input=True,
+            contrast_threshold=0.012, lowe_ratio=0.75,
+        ),
+        ransac=RansacConfig(essential_iters=2048, pnp_iters=1024),
+        map=MapConfig(max_cameras=64, max_points=16384),
+    )
+    Kj = jnp.asarray(cfg.intrinsic_matrix())
+    stack8 = jax.device_put(np.stack([(g * 255.0).astype(np.uint8) for g in imgs]))
+
+    def detect(img8):
+        return sift.detect_and_compute(img8.astype(jnp.float32) / 255.0, cfg.frontend)
+
+    def bgr(img8):
+        return jnp.repeat(img8[..., None], 3, -1).astype(jnp.float32)
+
+    # Sparse SfM (same recipe as bench.py: per-frame global BA).
+    t0 = time.time()
+    key = jax.random.PRNGKey(0)
+    keys = jax.random.split(key, N_FRAMES + 1)
+    f0, f1 = detect(stack8[0]), detect(stack8[1])
+    pstate, _ = init_from_bootstrap(keys[0], f0, f1, bgr(stack8[1]), Kj, cfg)
+    for i in range(2, N_FRAMES):
+        f = detect(stack8[i])
+        pstate, _ = register_frame(keys[i], pstate, f, bgr(stack8[i]), cfg)
+        mstate, _ = ba.bundle_adjust_map(pstate.map, max_iterations=8, cg_iters=15)
+        pstate = pstate._replace(map=mstate)
+    jax.block_until_ready(pstate.map.points)
+    state = pstate.map
+    sfm_wall = time.time() - t0
+    n_cams = int(np.asarray(state.cam_valid).sum())
+    log(f"sparse SfM: {n_cams}/{N_FRAMES} cams in {sfm_wall:.1f}s (incl. compile)")
+
+    # Similarity scale reconstruction -> ground truth (depths scale by s).
+    poses_est = np.asarray(state.poses)[:n_cams]
+    s_align, _, _ = evaluate.umeyama_alignment(
+        evaluate.camera_centers(poses_est), evaluate.camera_centers(Rt_gt[:n_cams])
+    )
+    ate = evaluate.ate_rmse(poses_est, Rt_gt[:n_cams])
+
+    # Dense MVS over every frame, batched plane sweep + geometric check.
+    t0 = time.time()
+    grays = [stack8[i].astype(jnp.float32) / 255.0 for i in range(n_cams)]
+    bgrs = [bgr(stack8[i]) for i in range(n_cams)]
+    pts, cols, dms = mvs.densify_map(
+        grays, state, num_depths=NUM_DEPTHS, stride=STRIDE,
+        images_bgr=bgrs, return_depth_maps=True,
+    )
+    mvs_wall = time.time() - t0
+    log(f"MVS: {len(pts)} dense points in {mvs_wall:.1f}s "
+        f"({NUM_DEPTHS} depths, stride {STRIDE})")
+
+    # Depth accuracy vs ground truth on the consistency-surviving pixels.
+    rels = []
+    covs = []
+    for r, dm in dms.items():
+        d_est = np.asarray(dm.depth) * s_align
+        v = np.asarray(dm.valid)
+        d_gt = gt_depths[r]
+        ok = v & (d_gt > 0.1)
+        covs.append(ok.mean())
+        if ok.sum():
+            rels.append((d_est[ok] - d_gt[ok]) / d_gt[ok])
+    rel = np.abs(np.concatenate(rels))
+    depth_rel_rms = float(np.sqrt(np.mean(rel**2)))
+    depth_rel_med = float(np.median(rel))
+    frac_lt_1pct = float(np.mean(rel < 0.01))
+    coverage = float(np.mean(covs))
+    log(f"depth vs GT: rel RMS {depth_rel_rms:.4f}, median {depth_rel_med:.4f}, "
+        f"<1% err fraction {frac_lt_1pct:.3f}, valid-pixel coverage {coverage:.3f}")
+
+    os.makedirs(ART, exist_ok=True)
+    n_ply = sfm_io.to_ply(
+        os.path.join(ART, "dense.ply"), pts, cols, scale=200.0, outlier_offset=900.0
+    )
+    result = {
+        "metric": "mvs_dense_full_resolution",
+        "frames": n_cams,
+        "resolution": [W, H],
+        "num_depths": NUM_DEPTHS,
+        "stride": STRIDE,
+        "dense_points": int(len(pts)),
+        "ply_points": int(n_ply),
+        "depth_rel_rms": round(depth_rel_rms, 5),
+        "depth_rel_median": round(depth_rel_med, 5),
+        "depth_frac_under_1pct": round(frac_lt_1pct, 4),
+        "valid_pixel_coverage": round(coverage, 4),
+        "sfm_ate": round(float(ate), 5),
+        "mvs_wall_s": round(mvs_wall, 1),
+        "sfm_wall_s": round(sfm_wall, 1),
+        "reference_slot": "sfm.py:298 densify=False — declared, never implemented",
+    }
+    with open(os.path.join(ART, "MVS_r03.json"), "w") as fh:
+        json.dump(result, fh, indent=1)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

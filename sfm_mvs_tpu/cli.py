@@ -103,6 +103,9 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--mvs-depths", type=int, default=64)
     p.add_argument("--mvs-stride", type=int, default=2)
+    p.add_argument("--no-gif", action="store_true",
+                   help="skip the orbiting turntable render (sfm.gif — "
+                        "artifact parity with the reference's Result/sfm.gif)")
     return p
 
 
@@ -208,11 +211,20 @@ def main(argv=None) -> int:
             batch_detect=args.batch_detect,
         )
 
+    if args.pipeline == "global" and (
+        args.sweep or args.loop_close or args.ba_refine_intrinsics
+    ):
+        print(
+            "warning: --sweep/--loop-close/--ba-refine-intrinsics are "
+            "incremental-pipeline features and are ignored with "
+            "--pipeline global (use --finalize for cull + global BA)",
+            file=sys.stderr,
+        )
     if (
         args.finalize or args.sweep or args.loop_close
         or args.ba_refine_intrinsics
     ) and args.pipeline == "incremental":
-        state = sfm.finalize()
+        state = sfm.finalize(ba_iterations=args.ba_iterations)
         print(f"finalize: {sfm.finalize_info}")
     elif args.finalize:
         from sfm_mvs_tpu.models.refine import finalize_map
@@ -238,6 +250,15 @@ def main(argv=None) -> int:
     viz.save_camera_frusta_ply(os.path.join(args.out, "cameras.ply"), poses)
     errs = [s.get("reproj_error", 0.0) for s in sfm.stats]
     viz.save_error_plot(os.path.join(args.out, "reproj_error.png"), errs)
+    if not args.no_gif:
+        pv = np.asarray(state.point_valid)
+        viz.save_turntable_gif(
+            os.path.join(args.out, "sfm.gif"),
+            np.asarray(state.points)[pv],
+            np.asarray(state.colors)[pv],
+            poses,
+            n_frames=24,
+        )
     print(f"done: {len(poses)} cameras, {n} cloud points -> {args.out}/")
     print(logger.summary())
     return 0

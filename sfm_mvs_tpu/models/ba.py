@@ -494,6 +494,90 @@ def bundle_adjust_map(
     return write_back_to_map(state, prob), stats
 
 
+@partial(jax.jit, static_argnames=(
+    "window_cams", "window_points", "max_iterations", "cg_iters",
+    "freeze_cams", "huber_delta",
+))
+def bundle_adjust_window(
+    state: MapState,
+    window_cams: int = 16,
+    window_points: int = 16384,
+    max_iterations: int = 8,
+    cg_iters: int = 12,
+    freeze_cams: int = 2,
+    huber_delta: float = 0.0,
+) -> tuple[MapState, BAStats]:
+    """Sliding-window local BA whose cost is INDEPENDENT of map capacity.
+
+    `bundle_adjust_map(local_window=k)` freezes old cameras but still
+    evaluates residuals/Jacobians over the full (P, C) grid, so per-frame
+    BA cost grows with the sequence (the round-2 large-scene collapse:
+    2.1 frames/s at 120 cameras). This instead extracts a static-shape
+    sub-problem — the last `window_cams` camera slots x the last
+    `window_points` point slots of the dense grid (both dynamic_slice
+    starts, so one compile serves every frame) — runs the same
+    sparse-Schur LM on the (Wp, Wc) sub-grid, and writes the result back
+    with dynamic_update_slice. O(Wp * Wc) per frame, constant as the
+    sequence grows.
+
+    Sub-problem semantics (standard sliding-window BA):
+    - the oldest `freeze_cams` cameras in the window are frozen — they
+      anchor the window to the global frame (and supply the gauge);
+    - window points with fewer than 2 in-window observations are excluded
+      (their out-of-window anchors are not in the sub-problem, so a
+      1-observation point would be unconstrained); excluded and frozen
+      entries are written back unchanged.
+
+    Replaces the per-frame `scipy.least_squares` BA slot of the reference
+    (sfm.py:381-383) at long-sequence scale.
+    """
+    C = state.poses.shape[0]
+    P = state.points.shape[0]
+    Wc = min(window_cams, C)
+    Wp = min(window_points, P)
+    c0 = jnp.clip(state.num_cams - Wc, 0, C - Wc)
+    p0 = jnp.clip(state.num_points - Wp, 0, P - Wp)
+
+    poses_w = jax.lax.dynamic_slice(state.poses, (c0, 0, 0), (Wc, 3, 4))
+    cam_valid_w = jax.lax.dynamic_slice(state.cam_valid, (c0,), (Wc,))
+    points_w = jax.lax.dynamic_slice(state.points, (p0, 0), (Wp, 3))
+    point_valid_w = jax.lax.dynamic_slice(state.point_valid, (p0,), (Wp,))
+    obs_uv_w = jax.lax.dynamic_slice(state.obs_uv, (p0, c0, 0), (Wp, Wc, 2))
+    obs_mask_w = jax.lax.dynamic_slice(state.obs_mask, (p0, c0), (Wp, Wc))
+
+    # Points need >= 2 observations INSIDE the window to be determined.
+    obs_w = obs_mask_w & point_valid_w[:, None] & cam_valid_w[None, :]
+    point_ok = point_valid_w & (jnp.sum(obs_w.astype(jnp.int32), axis=1) >= 2)
+
+    slot = jnp.arange(Wc)
+    frozen = (slot < freeze_cams) | ~cam_valid_w
+
+    rvec, tvec = lie.matrix_to_rt(poses_w)
+    prob = BAProblem(
+        cam_params=jnp.concatenate([rvec, tvec], axis=-1),
+        points=points_w,
+        cam_valid=cam_valid_w,
+        point_valid=point_ok,
+        obs_uv=obs_uv_w,
+        obs_mask=obs_mask_w,
+        K=state.K,
+        frozen=frozen,
+        intr=jnp.asarray(_INTR_IDENTITY, points_w.dtype),
+    )
+    prob, stats = run_ba(
+        prob, max_iterations=max_iterations, cg_iters=cg_iters,
+        huber_delta=huber_delta,
+    )
+
+    poses_new = lie.rt_to_matrix(prob.cam_params[:, :3], prob.cam_params[:, 3:])
+    poses_new = jnp.where(frozen[:, None, None], poses_w, poses_new)
+    points_new = jnp.where(point_ok[:, None], prob.points, points_w)
+    return state._replace(
+        poses=jax.lax.dynamic_update_slice(state.poses, poses_new, (c0, 0, 0)),
+        points=jax.lax.dynamic_update_slice(state.points, points_new, (p0, 0)),
+    ), stats
+
+
 def bundle_adjust_map_intrinsics(
     state: MapState,
     max_iterations: int = 20,

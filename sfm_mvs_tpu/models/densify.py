@@ -61,7 +61,11 @@ def _nearest_map_point(uv_cand, uv_map, depth_map, valid_map):
     """
     P = uv_map.shape[0]
     M = uv_cand.shape[0]
-    chunk = 8192 if P % 8192 == 0 else P
+    chunk = min(8192, P)
+    # ceil(P/chunk) blocks; dynamic_slice clamps the last start backward,
+    # so the tail block overlaps the previous one — harmless for a
+    # running min (overlapped rows are just scored twice).
+    nblocks = -(-P // chunk)
     sq_c = jnp.sum(uv_cand * uv_cand, axis=1)  # (M,)
 
     def body(i, carry):
@@ -85,7 +89,7 @@ def _nearest_map_point(uv_cand, uv_map, depth_map, valid_map):
         )
 
     init = (jnp.full((M,), jnp.inf, jnp.float32), jnp.zeros((M,), jnp.float32))
-    return jax.lax.fori_loop(0, P // chunk, body, init)
+    return jax.lax.fori_loop(0, nblocks, body, init)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -167,7 +171,7 @@ def densify_sweep(
     cfg = cfg or SfmConfig()
     cfg = dataclasses.replace(cfg, frontend=sweep_frontend_config(cfg))
     n = int(state.num_cams)
-    added = []
+    points_before = int(state.num_points)
     for stride in cfg.sweep.pair_strides:
         stride = max(1, int(stride))
         for i in range(0, n - stride):
@@ -175,7 +179,7 @@ def densify_sweep(
                 img = jnp.asarray(images_bgr[i + stride])
             else:
                 img = jnp.full((2, 2, 3), 128.0, jnp.float32)
-            state, k = sweep_pair(
+            state, _ = sweep_pair(
                 state,
                 jnp.asarray(i, jnp.int32),
                 jnp.asarray(i + stride, jnp.int32),
@@ -184,9 +188,19 @@ def densify_sweep(
                 img,
                 cfg,
             )
-            added.append(k)  # device scalar — no host sync inside the loop
-    total = int(sum(int(a) for a in added)) if added else 0
-    return state, total
+    # Count what actually landed: append_points silently drops candidates
+    # once capacity is exhausted, so per-pair `sum(good)` over-reports
+    # (advisor r2). One host sync at the end, none inside the loop.
+    points_after = int(state.num_points)
+    if points_after >= state.points.shape[0]:
+        import warnings
+
+        warnings.warn(
+            f"densify sweep filled the map's point capacity "
+            f"({state.points.shape[0]}); further candidates were dropped — "
+            f"raise sweep.grow_points to keep them"
+        )
+    return state, points_after - points_before
 
 
 def redetect_for_sweep(

@@ -286,12 +286,20 @@ class IncrementalSfM:
             return pstate
         from sfm_mvs_tpu.models import ba as ba_mod
 
-        mstate, ba_stats = ba_mod.bundle_adjust_map(
-            pstate.map,
-            max_iterations=cfg.ba.max_iterations,
-            local_window=cfg.ba.local_window,
-            huber_delta=cfg.ba.huber_delta,
-        )
+        if cfg.ba.local_window > 0:
+            mstate, ba_stats = ba_mod.bundle_adjust_window(
+                pstate.map,
+                window_cams=cfg.ba.local_window,
+                window_points=cfg.ba.window_points,
+                max_iterations=cfg.ba.max_iterations,
+                huber_delta=cfg.ba.huber_delta,
+            )
+        else:
+            mstate, ba_stats = ba_mod.bundle_adjust_map(
+                pstate.map,
+                max_iterations=cfg.ba.max_iterations,
+                huber_delta=cfg.ba.huber_delta,
+            )
         if self.metrics is not None:
             self.metrics.log(
                 event="ba",
@@ -372,7 +380,23 @@ class IncrementalSfM:
         self._cam_gray: list = []
         self._cam_tracks: list = []
         if cfg.bootstrap == "auto" and resume_state is None:
+            if self.checkpoint_dir and self.checkpoint_every:
+                import warnings
+
+                warnings.warn(
+                    "bootstrap=auto registers frames out of order; periodic "
+                    "checkpoints are not written (resume would fall back to "
+                    "the sequential driver). Run without --checkpoint-every "
+                    "or with --bootstrap seq."
+                )
             return self._run_auto(images_gray, images_bgr, seed, get_feats)
+        if resume_state is not None and cfg.bootstrap == "auto":
+            import warnings
+
+            warnings.warn(
+                "resuming with bootstrap=auto: continuing with the "
+                "SEQUENTIAL driver from the checkpointed state"
+            )
         if resume_state is not None:
             pstate = resume_state
             start = resume_frame + 1
@@ -493,7 +517,12 @@ class IncrementalSfM:
         )
         return state
 
-    def finalize(self, cull_px: float = 4.0, compact: bool = True) -> MapState:
+    def finalize(
+        self,
+        cull_px: float = 4.0,
+        compact: bool = True,
+        ba_iterations: int = 0,
+    ) -> MapState:
         """Final polish: optional loop-closure injection, capacity
         right-sizing, cull + global BA, optional shared-intrinsics
         refinement, then the optional densification sweep
@@ -505,6 +534,8 @@ class IncrementalSfM:
         before the global solves (external track ids are remapped)."""
         from sfm_mvs_tpu.models.refine import finalize_map
 
+        if ba_iterations <= 0:
+            ba_iterations = 20  # historical finalize_map default
         state = self.state.map
         if compact:
             state, remap = map_store.compact_points(state)
@@ -553,16 +584,11 @@ class IncrementalSfM:
                 n_closed += int(n1) + int(n2)
             self.state = self.state._replace(map=state)
 
-        state, info = finalize_map(state, cull_px=cull_px)
+        state, info = finalize_map(
+            state, max_iterations=ba_iterations, cull_px=cull_px
+        )
         if n_closed:
             info["loop_closure_obs"] = n_closed
-        if self.config.ba.refine_intrinsics:
-            from sfm_mvs_tpu.models import ba as ba_mod
-
-            state, ba_stats, intr = ba_mod.bundle_adjust_map_intrinsics(
-                state, max_iterations=self.config.ba.max_iterations
-            )
-            info["intrinsics"] = [float(x) for x in intr]
         aligned = len(self._cam_feats) == int(state.num_cams)
         if self.config.sweep.enabled and not aligned:
             # Resumed runs don't retain pre-resume frames; the sweep
@@ -581,6 +607,17 @@ class IncrementalSfM:
                 cull_px=cull_px, images_gray=self._cam_gray,
             )
             info.update(sweep_info)
+        if self.config.ba.refine_intrinsics:
+            # Run LAST so the recovered [f_scale, k1, k2] describes the
+            # exported map: the sweep's pinhole-only solves would otherwise
+            # drop k1/k2 and partially undo the refinement (advisor r2).
+            from sfm_mvs_tpu.models import ba as ba_mod
+
+            state, ba_stats, intr = ba_mod.bundle_adjust_map_intrinsics(
+                state, max_iterations=ba_iterations
+            )
+            info["intrinsics"] = [float(x) for x in intr]
+            info["final_cost"] = float(ba_stats.final_cost)
         if self.metrics is not None:
             self.metrics.log(event="finalize", **info)
         self.finalize_info = info

@@ -304,6 +304,7 @@ def densify_map(
     geo_rel_tol: float = 0.03,
     batch: int = 4,
     mesh=None,
+    return_depth_maps: bool = False,
 ):
     """Plane-sweep every frame, cross-check depths, fuse a colored cloud.
 
@@ -375,6 +376,7 @@ def densify_map(
 
     # Pass 2: cross-view consistency + fusion.
     all_pts, all_cols = [], []
+    filtered: dict[int, DepthMap] = {}
     for r, dm in depth_maps.items():
         pose_r = state.poses[r]
         nbrs = [i for i in neighbors(r) if i in depth_maps]
@@ -387,6 +389,7 @@ def densify_map(
                 K,
                 rel_tol=geo_rel_tol,
             )
+        filtered[r] = dm
         color = (
             jnp.asarray(images_bgr[r]) if images_bgr is not None
             else jnp.asarray(images_gray[r])
@@ -396,5 +399,10 @@ def densify_map(
         all_pts.append(np.asarray(Xw)[v])
         all_cols.append(np.asarray(cols)[v])
     if not all_pts:
-        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.float32)
-    return np.concatenate(all_pts), np.concatenate(all_cols)
+        pts = np.zeros((0, 3), np.float32)
+        cols = np.zeros((0, 3), np.float32)
+    else:
+        pts, cols = np.concatenate(all_pts), np.concatenate(all_cols)
+    if return_depth_maps:
+        return pts, cols, filtered
+    return pts, cols

@@ -120,7 +120,13 @@ class BaConfig:
     damping_init: float = 1e-3
     damping_up: float = 4.0
     damping_down: float = 2.0
-    local_window: int = 0  # 0 = global BA; else optimize last-K cameras
+    # 0 = global BA every cadence; else sliding-window BA over the last K
+    # cameras as a STATIC-SHAPE sub-problem (ba.bundle_adjust_window) —
+    # per-frame cost O(window_points * K), independent of map capacity.
+    # The windowed path is what keeps long sequences (250+ cameras) at
+    # registration speed; finalize() still runs the full global BA.
+    local_window: int = 0
+    window_points: int = 16384  # point-axis extent of the windowed BA
     # Refine the shared [focal_scale, k1, k2] block during the FINAL
     # global BA (the notebook prototype's f/k1/k2 camera params,
     # checkpoint cells 3-7). Off by default: the reference pipeline

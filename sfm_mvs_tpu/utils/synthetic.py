@@ -173,6 +173,7 @@ def render_staircase_sequence(
     texture_size: int = 1024,
     seed: int = 0,
     return_depth: bool = False,
+    texture: "np.ndarray | None" = None,
 ):
     """Render vertical textured strips at staggered depths (a "staircase").
 
@@ -181,8 +182,19 @@ def render_staircase_sequence(
     estimation is well-conditioned. This is the primary synthetic sequence
     for end-to-end pipeline tests and benchmarks. Returns (images,
     Rt (C,3,4), K (3,3)).
+
+    texture: optional square (T, T) float image in [0, 1] to texture the
+    strips with instead of the synthetic value noise — pass a real
+    photograph (see :func:`load_image_texture`) to exercise the detector
+    and matcher on real contrast/gradient statistics while keeping exact
+    ground-truth geometry.
     """
-    tex = make_texture(texture_size, seed=seed)
+    if texture is not None:
+        tex = np.asarray(texture, np.float32)
+        assert tex.ndim == 2 and tex.shape[0] == tex.shape[1], "square (T,T)"
+        texture_size = tex.shape[0]
+    else:
+        tex = make_texture(texture_size, seed=seed)
     rng = np.random.default_rng(seed + 7)
     W, H = image_size
     K = np.array(
@@ -386,3 +398,30 @@ def render_plane_sequence(
         img = np.where(inside, img, 0.12).astype(np.float32)
         images.append(img)
     return images, np.stack(Rts), K
+
+
+def load_image_texture(path: str, size: int = 1024) -> np.ndarray:
+    """Load a real photograph as a square grayscale texture in [0, 1].
+
+    Center-crops to square, then area-averages down to `size` (integer
+    block mean when divisible, else strided nearest). Used to texture the
+    synthetic renderers with REAL image statistics (contrast distribution,
+    gradient structure) while keeping exact ground-truth geometry.
+    """
+    from sfm_mvs_tpu.native import decode_gray
+
+    g = decode_gray(path)  # (H, W) float32 in [0, 1]
+    H, W = g.shape
+    side = min(H, W)
+    y0 = (H - side) // 2
+    x0 = (W - side) // 2
+    g = g[y0 : y0 + side, x0 : x0 + side]
+    if side >= size and side % size == 0:
+        f = side // size
+        g = g.reshape(size, f, size, f).mean(axis=(1, 3))
+    else:
+        idx = np.minimum((np.arange(size) * (side / size)).astype(int), side - 1)
+        g = g[np.ix_(idx, idx)]
+    g = g - g.min()
+    rng = g.max()
+    return (g / rng if rng > 0 else g).astype(np.float32)

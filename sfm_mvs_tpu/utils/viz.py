@@ -112,3 +112,80 @@ def save_error_plot(path: str, errors: Sequence[float]) -> None:
     fig.tight_layout()
     fig.savefig(path, dpi=120)
     plt.close(fig)
+
+
+def save_turntable_gif(
+    path: str,
+    points: np.ndarray,
+    colors: Optional[np.ndarray] = None,
+    poses: Optional[Sequence[np.ndarray]] = None,
+    n_frames: int = 36,
+    elev: float = 12.0,
+    point_size: float = 1.5,
+    duration_ms: int = 80,
+    figsize=(5, 5),
+) -> None:
+    """Orbiting-camera render of the reconstruction as an animated GIF.
+
+    The artifact-parity answer to the reference's shipped `Result/sfm.gif`
+    (README.md:37-39): the final cloud (+ camera frusta when poses are
+    given) rendered from a camera orbiting the cloud centroid, one GIF
+    frame per azimuth step. Pure matplotlib + PIL, headless.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from PIL import Image
+
+    pts = np.asarray(points, np.float64)
+    if len(pts) == 0:
+        return
+    # Robust extent: clip to the 2-98% quantile box so stray outliers
+    # don't shrink the subject to a dot (same spirit as sfm.py:176-181).
+    lo = np.quantile(pts, 0.02, axis=0)
+    hi = np.quantile(pts, 0.98, axis=0)
+    keep = np.all((pts >= lo) & (pts <= hi), axis=1)
+    pts = pts[keep]
+    c = None
+    if colors is not None:
+        c = np.clip(np.asarray(colors)[keep][:, ::-1] / 255.0, 0, 1)  # BGR->RGB
+    center = pts.mean(axis=0)
+    span = float(np.max(pts.max(axis=0) - pts.min(axis=0))) * 0.55 + 1e-6
+
+    cam_pts = None
+    if poses is not None and len(poses):
+        cam_pts = np.stack(
+            [-np.asarray(Rt)[:, :3].T @ np.asarray(Rt)[:, 3] for Rt in poses]
+        )
+
+    frames = []
+    fig = plt.figure(figsize=figsize)
+    ax = fig.add_subplot(111, projection="3d")
+    for k in range(n_frames):
+        ax.cla()
+        ax.scatter(
+            pts[:, 0], pts[:, 1], pts[:, 2], s=point_size, c=c,
+            marker=".", linewidths=0, depthshade=False,
+        )
+        if cam_pts is not None:
+            ax.plot(cam_pts[:, 0], cam_pts[:, 1], cam_pts[:, 2], "r-", lw=1.0)
+            ax.scatter(
+                cam_pts[:, 0], cam_pts[:, 1], cam_pts[:, 2], s=6, c="red",
+                marker="^", depthshade=False,
+            )
+        ax.set_xlim(center[0] - span, center[0] + span)
+        ax.set_ylim(center[1] - span, center[1] + span)
+        ax.set_zlim(center[2] - span, center[2] + span)
+        ax.view_init(elev=elev, azim=360.0 * k / n_frames)
+        ax.set_axis_off()
+        fig.tight_layout(pad=0)
+        fig.canvas.draw()
+        buf = np.asarray(fig.canvas.buffer_rgba())[..., :3]
+        frames.append(Image.fromarray(buf.copy()))
+    plt.close(fig)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    frames[0].save(
+        path, save_all=True, append_images=frames[1:],
+        duration=duration_ms, loop=0, optimize=True,
+    )

@@ -132,3 +132,46 @@ def test_huber_resists_outlier_observations(rng):
 
     assert pose_err(hub_state) < pose_err(l2_state)
     assert pose_err(hub_state) < 5e-3
+
+
+def test_window_ba_constant_shape_subproblem(rng):
+    """bundle_adjust_window improves the recent window and leaves
+    out-of-window state untouched (the scale-out local BA)."""
+    state, scene = _build_problem(rng, obs_noise=0.0)
+    poses_before = np.asarray(state.poses).copy()
+    points_before = np.asarray(state.points).copy()
+    new_state, stats = ba.bundle_adjust_window(
+        state, window_cams=3, window_points=256,
+        max_iterations=15, cg_iters=20, freeze_cams=1,
+    )
+    # 5 cams, window 3 -> cams 0,1 outside; cam 2 frozen anchor.
+    for c in range(3):
+        np.testing.assert_allclose(
+            np.asarray(new_state.poses[c]), poses_before[c], atol=1e-6
+        )
+    # the last two cameras moved and the window cost dropped
+    assert np.abs(np.asarray(new_state.poses[4]) - poses_before[4]).max() > 1e-5
+    assert float(stats.final_cost) < float(stats.initial_cost)
+    # points: capacity 512, window 256, num_points=300 -> slots [44, 300)
+    # adjustable, slots [0, 44) untouched.
+    np.testing.assert_allclose(
+        np.asarray(new_state.points)[:44], points_before[:44], atol=1e-7
+    )
+    assert np.abs(np.asarray(new_state.points)[44:300] - points_before[44:300]).max() > 1e-6
+
+
+def test_window_ba_matches_global_on_small_map(rng):
+    """When the window covers the whole map, the windowed solve IS the
+    global solve (same LM trajectory)."""
+    state, scene = _build_problem(rng, obs_noise=0.0)
+    g_state, g_stats = ba.bundle_adjust_map(state, max_iterations=12, cg_iters=20)
+    w_state, w_stats = ba.bundle_adjust_window(
+        state, window_cams=8, window_points=512,
+        max_iterations=12, cg_iters=20, freeze_cams=1,
+    )
+    np.testing.assert_allclose(
+        np.asarray(w_state.poses[:5]), np.asarray(g_state.poses[:5]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(w_stats.final_cost), float(g_stats.final_cost), rtol=1e-4
+    )
