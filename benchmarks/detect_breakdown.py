@@ -23,32 +23,26 @@ import numpy as np
 
 
 def timeit(fn, arglists, reps=12):
-    """CHAINED timing: each rep's input is perturbed by a scalar extracted
-    from the previous rep's output, so execution cannot be deduped,
-    reordered, or dropped by the axon tunnel (CLAUDE.md timing pitfall:
-    independent identical dispatches report 0.1ms for a 34ms kernel; even
-    varied independent dispatches under-report). fn must take the args in
-    arglists[i] where the FIRST arg is a float array to perturb.
+    """CHAINED timing: each rep's input carries a zero-valued but
+    data-dependent term derived from the previous rep's output, so
+    execution cannot be deduped, reordered, or dropped by the axon tunnel
+    (CLAUDE.md timing pitfall: independent identical dispatches report
+    0.1ms for a 34ms kernel; even varied independent dispatches
+    under-report).
+
+    METHODOLOGY FIX (round 3): the dep-injection and output-scalar
+    extraction are folded INTO one jitted step, so each rep is exactly ONE
+    dispatch. The round-2 version ran them as ~10 EAGER ops per rep, each
+    paying a tunnel RPC — which inflated stage timings by 50-130 ms and
+    made stage sums exceed the fused total (the old
+    artifacts/DETECT_BREAKDOWN.json is overhead-dominated; do not compare
+    against it).
     """
     import jax
     import jax.numpy as jnp
 
-    def scalar_of(out):
-        leaves = [l for l in jax.tree_util.tree_leaves(out)
-                  if hasattr(l, "dtype")]
-        s = jnp.float32(0.0)
-        for l in leaves[:3]:
-            s = s + jnp.sum(l[..., :1].astype(jnp.float32))
-        return s * 1e-12
-
-    out = fn(*arglists[0])  # compile
-    jax.block_until_ready(out)
-    carry = scalar_of(out)
-
-    def add_dep(first, carry):
-        # 0-valued but data-dependent term: forces rep i+1 to wait for
-        # rep i without perturbing values (XLA cannot fold it away since
-        # carry is unknown at compile time).
+    @jax.jit
+    def step(carry, args):
         dep = jnp.where(jnp.isnan(carry), 1, 0)
 
         def leaf(a):
@@ -56,13 +50,20 @@ def timeit(fn, arglists, reps=12):
                 return a + dep.astype(a.dtype)
             return a
 
-        return jax.tree_util.tree_map(leaf, first)
+        out = fn(*jax.tree_util.tree_map(leaf, args))
+        leaves = [l for l in jax.tree_util.tree_leaves(out)
+                  if hasattr(l, "dtype")]
+        s = jnp.float32(0.0)
+        for l in leaves[:3]:
+            s = s + jnp.sum(l[..., :1].astype(jnp.float32))
+        return s * 1e-12
+
+    carry = step(jnp.float32(0.0), arglists[0])  # compile
+    jax.block_until_ready(carry)
 
     t0 = time.time()
     for i in range(reps):
-        args = arglists[i % len(arglists)]
-        out = fn(add_dep(args[0], carry), *args[1:])
-        carry = scalar_of(out)
+        carry = step(carry, arglists[i % len(arglists)])
     jax.block_until_ready(carry)
     return (time.time() - t0) / reps
 

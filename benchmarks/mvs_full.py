@@ -141,8 +141,14 @@ def main():
         f"<1% err fraction {frac_lt_1pct:.3f}, valid-pixel coverage {coverage:.3f}")
 
     os.makedirs(ART, exist_ok=True)
+    # Full cloud is ~260 MB ASCII (gitignored); a 1/12 subsample is the
+    # committed preview artifact (still >400k points).
     n_ply = sfm_io.to_ply(
         os.path.join(ART, "dense.ply"), pts, cols, scale=200.0, outlier_offset=900.0
+    )
+    sfm_io.to_ply(
+        os.path.join(ART, "dense_preview.ply"), pts[::12], cols[::12],
+        scale=200.0, outlier_offset=900.0,
     )
     result = {
         "metric": "mvs_dense_full_resolution",

@@ -434,14 +434,19 @@ def detect_and_compute(image: jnp.ndarray, cfg: FrontendConfig) -> Features:
     image: (H, W) float32 grayscale in [0, 1]. Returns fixed-capacity
     Features (cfg.max_features slots) in input-image pixel coordinates.
 
-    On the "nearest_polar" sampling path, descriptor computation is
-    DEFERRED until after the global top-K merge: per-octave candidates
-    (sum of octave budgets, x2 for secondary orientations — ~2.7x
-    max_features) get orientations only, then the K winners sample their
-    descriptor windows from one concatenated flat polar-gradient buffer
-    spanning all octaves (per-keypoint base/stride arithmetic; gather cost
-    on TPU scales with the index count, so descriptor sampling cost drops
-    by the same ~2.7x).
+    On the "nearest_polar" sampling path, BOTH orientation and descriptor
+    window sampling are DEFERRED until after global top-K selection:
+    per-octave candidates (sum of octave budgets, ~1.3x max_features) are
+    ranked by response alone, the K winners compute orientations from one
+    concatenated flat polar-gradient buffer spanning all octaves
+    (per-keypoint base/stride arithmetic), secondary-orientation
+    duplicates re-merge through a second top-K, and descriptors sample
+    once for the final K. Gather cost on TPU scales with the index count,
+    so candidates that would lose the top-K never pay for window sampling.
+    The two-stage merge selects the same set as ranking all (primary,
+    secondary) entries jointly: a keypoint whose primary misses stage 1
+    is outranked by Kf primaries, so none of its entries can reach the
+    final top-K.
     """
     S = cfg.scales_per_octave
     base = pyramid.upsample2(image) if cfg.upsample_input else image
@@ -477,7 +482,7 @@ def detect_and_compute(image: jnp.ndarray, cfg: FrontendConfig) -> Features:
             packed = _pack_polar(grads)  # (S, h, w) uint32
             flat_parts.append(packed.reshape(-1))
             geoms.append((h, w))
-            sampler = _polar_sampler(packed)
+            sampler = None  # orientation+descriptor both deferred
         else:
             sampler = make_grad_sampler(grads, cfg.grad_sampling)
 
@@ -515,20 +520,25 @@ def detect_and_compute(image: jnp.ndarray, cfg: FrontendConfig) -> Features:
         )
         valid = valid & inside
 
-        ang1, ang2, has2 = _orientation(sampler, lay, fx, fy, sigma_oct)
-        valid2 = valid & has2  # secondary-orientation duplicates (OpenCV
-        # keeps peaks >=0.8x main as extra keypoints — so do we; response
-        # infinitesimally down-weighted so primaries win top-K ties)
-
         if deferred:
+            # Orientation is ALSO deferred to the global top-K winners
+            # (like descriptors): candidates beyond the final budget never
+            # pay for window sampling. Equivalent selection: a keypoint's
+            # secondary entry carries ~the primary's response, so the
+            # final top-K can only contain entries of keypoints whose
+            # primary survives a top-K over primaries (see the two-stage
+            # merge below).
             oct_ids = jnp.full(lay.shape, o, jnp.int32)
-            for ang, val, damp in ((ang1, valid, 1.0), (ang2, valid2, 0.999999)):
-                metas.append(dict(
-                    oct=oct_ids, lay=lay, fx=fx, fy=fy, sigma=sigma_oct,
-                    angle=ang, valid=val,
-                    response=jnp.where(val, top_resp * damp, 0.0),
-                ))
+            metas.append(dict(
+                oct=oct_ids, lay=lay, fx=fx, fy=fy, sigma=sigma_oct,
+                valid=valid, response=jnp.where(valid, top_resp, 0.0),
+            ))
         else:
+            ang1, ang2, has2 = _orientation(sampler, lay, fx, fy, sigma_oct)
+            valid2 = valid & has2  # secondary-orientation duplicates
+            # (OpenCV keeps peaks >=0.8x main as extra keypoints — so do
+            # we; response infinitesimally down-weighted so primaries win
+            # top-K ties)
             desc1 = _descriptor(sampler, lay, fx, fy, sigma_oct, ang1, cfg)
             desc2 = _descriptor(sampler, lay, fx, fy, sigma_oct, ang2, cfg)
             scale_to_input = first_scale * (2.0**o)
@@ -566,43 +576,74 @@ def detect_and_compute(image: jnp.ndarray, cfg: FrontendConfig) -> Features:
             valid=all_feats.valid[order] & (top_resp > 0.0),
         )
 
-    # Deferred path: select the K winners first, then compute descriptors
-    # once, sampling from one flat buffer spanning all octaves.
+    # Deferred path: select winners first, then compute orientations and
+    # descriptors once, sampling from one flat buffer spanning all octaves.
     cat = lambda k: jnp.concatenate([m[k] for m in metas], axis=0)
+    # Stage 1: top-K unique candidates by response.
     top_resp, order = jax.lax.top_k(cat("response"), Kf)
     oct_s = cat("oct")[order]
     lay_s = cat("lay")[order]
     fx_s = cat("fx")[order]
     fy_s = cat("fy")[order]
     sig_s = cat("sigma")[order]
-    ang_s = cat("angle")[order]
     val_s = cat("valid")[order] & (top_resp > 0.0)
 
     # Static per-octave geometry -> per-keypoint base/stride arithmetic.
     sizes = [S * hh * ww for hh, ww in geoms]
     bases = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int32)
     big = jnp.concatenate(flat_parts)
-    hk = jnp.asarray(np.array([g[0] for g in geoms], np.int32))[oct_s]
-    wk = jnp.asarray(np.array([g[1] for g in geoms], np.int32))[oct_s]
-    plane = jnp.asarray(bases)[oct_s] + lay_s * hk * wk  # (K,)
+    hs_np = jnp.asarray(np.array([g[0] for g in geoms], np.int32))
+    ws_np = jnp.asarray(np.array([g[1] for g in geoms], np.int32))
 
-    def sample(_lay, sx, sy):
-        # sx, sy: (K, S_win) octave-frame coords; per-keypoint clip bounds.
-        ix = jnp.clip(jnp.round(sx).astype(jnp.int32), 0, (wk - 1)[:, None])
-        iy = jnp.clip(jnp.round(sy).astype(jnp.int32), 0, (hk - 1)[:, None])
-        idx = plane[:, None] + iy * wk[:, None] + ix
-        v = big[idx.reshape(-1)].reshape(idx.shape)
-        return _unpack_polar(v)
+    def make_sample(oct_idx, lay_idx):
+        hk = hs_np[oct_idx]
+        wk = ws_np[oct_idx]
+        plane = jnp.asarray(bases)[oct_idx] + lay_idx * hk * wk  # (K,)
 
-    desc = _descriptor(sample, plane, fx_s, fy_s, sig_s, ang_s, cfg)
-    stoi = (first_scale * jnp.exp2(oct_s.astype(jnp.float32)))
+        def sample(_lay, sx, sy):
+            # sx, sy: (K, S_win) octave-frame coords; per-keypoint bounds.
+            ix = jnp.clip(jnp.round(sx).astype(jnp.int32), 0, (wk - 1)[:, None])
+            iy = jnp.clip(jnp.round(sy).astype(jnp.int32), 0, (hk - 1)[:, None])
+            idx = plane[:, None] + iy * wk[:, None] + ix
+            v = big[idx.reshape(-1)].reshape(idx.shape)
+            return _unpack_polar(v)
+
+        return sample, plane
+
+    sample1, plane1 = make_sample(oct_s, lay_s)
+    ang1, ang2, has2 = _orientation(sample1, plane1, fx_s, fy_s, sig_s)
+
+    # Stage 2: merge primary + secondary-orientation entries, re-top-K.
+    # A keypoint absent from the stage-1 winners cannot reach the final
+    # top-K: its response is below Kf other candidates, each of which
+    # contributes at least its own primary entry above it.
+    resp_all = jnp.concatenate(
+        [jnp.where(val_s, top_resp, 0.0),
+         jnp.where(val_s & has2, top_resp * 0.999999, 0.0)]
+    )
+    ang_all = jnp.concatenate([ang1, ang2])
+    val_all = jnp.concatenate([val_s, val_s & has2])
+    base_idx = jnp.concatenate([jnp.arange(Kf)] * 2)
+    top_resp2, order2 = jax.lax.top_k(resp_all, Kf)
+    sel = base_idx[order2]
+    oct_f = oct_s[sel]
+    lay_f = lay_s[sel]
+    fx_f = fx_s[sel]
+    fy_f = fy_s[sel]
+    sig_f = sig_s[sel]
+    ang_f = ang_all[order2]
+    val_f = val_all[order2] & (top_resp2 > 0.0)
+
+    sample2, plane2 = make_sample(oct_f, lay_f)
+    desc = _descriptor(sample2, plane2, fx_f, fy_f, sig_f, ang_f, cfg)
+    stoi = (first_scale * jnp.exp2(oct_f.astype(jnp.float32)))
     return Features(
-        xy=jnp.stack([fx_s, fy_s], axis=-1) * stoi[:, None],
-        scale=sig_s * stoi,
-        angle=ang_s,
-        response=top_resp,
+        xy=jnp.stack([fx_f, fy_f], axis=-1) * stoi[:, None],
+        scale=sig_f * stoi,
+        angle=ang_f,
+        response=top_resp2,
         desc=desc,
-        valid=val_s,
+        valid=val_f,
     )
 
 
