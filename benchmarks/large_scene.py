@@ -145,37 +145,72 @@ def main():
     t_fin = time.time()
     state = pstate.map
 
+    # Stitch matches are verified by pair-local E-RANSAC (drift-
+    # independent) with a loose 64px map gate: the default map-agreement
+    # gate rejected every match that exposed the accumulated bend (first
+    # 250-frame run: ATE 1.9% pre-stitch, 1.66% with map-gated stitch —
+    # the bend was invisible to the global BA by construction).
     @jax.jit
-    def inject(st, ci, cj, fi, fj, ti):
-        return exhaustive.inject_reobservations(st, ci, cj, fi, fj, ti, cfg)
+    def inject(k, st, ci, cj, fi, fj, ti):
+        return exhaustive.inject_reobservations(
+            st, ci, cj, fi, fj, ti, cfg,
+            key=k, max_err_px=64.0, epipolar_verify=True,
+        )
 
     STITCH_STRIDES = (4, 16, 64)
-    injected = []
-    # Camera id of frame i: bootstrap pair (0,1) -> cams (0,1), frame i>=2
-    # -> cam i (all frames registered; verified below before trusting ids).
-    all_registered = int(np.asarray(pstate.map.cam_valid).sum()) == N_FRAMES
-    if all_registered:
+    STITCH_ROUNDS = 3
+
+    def stitch_pass(state, skey):
+        injected = []
         for s in STITCH_STRIDES:
             for i in range(1, N_FRAMES - s, 2):
                 if i not in tracks_kept:
                     continue
+                skey, k = jax.random.split(skey)
                 st_, n = inject(
-                    state, jnp.asarray(i, jnp.int32), jnp.asarray(i + s, jnp.int32),
+                    k, state, jnp.asarray(i, jnp.int32),
+                    jnp.asarray(i + s, jnp.int32),
                     feats_kept[i], feats_kept[i + s], tracks_kept[i],
                 )
                 state, injected = st_, injected + [n]
-    n_injected = int(sum(int(x) for x in injected)) if injected else 0
+        return state, int(sum(int(x) for x in injected)), skey
+
+    # Camera id of frame i: bootstrap pair (0,1) -> cams (0,1), frame i>=2
+    # -> cam i (all frames registered; verified below before trusting ids).
+    all_registered = int(np.asarray(pstate.map.cam_valid).sum()) == N_FRAMES
+    n_injected = []
+    skey = jax.random.PRNGKey(7)
+    if all_registered:
+        # Stitch <-> robust-BA alternation. One pass is NOT enough: on the
+        # raw windowed-registration map (measured ATE ~10% at 250 frames)
+        # most long-stride matches misproject beyond any sane gate, so the
+        # first pass only injects the survivors (enough for robust BA to
+        # reach ~1.3%); re-stitching on the straightened geometry admits
+        # the rest, and the next BA pulls further (measured on the saved
+        # pre-finalize state: 400 extra LM iters WITHOUT re-stitching stay
+        # flat at 1.25% — the constraint graph, not LM depth, binds).
+        for r in range(STITCH_ROUNDS):
+            state, n, skey = stitch_pass(state, skey)
+            n_injected.append(n)
+            state, stats = ba.bundle_adjust_map(
+                state, max_iterations=50, cg_iters=30, huber_delta=3.0,
+            )
+            print(f"stitch round {r}: +{n} obs, robust cost "
+                  f"{float(stats.final_cost):.4f}", file=sys.stderr)
     stitch_wall = time.time() - t_fin
     print(f"stitch: {n_injected} obs injected in {stitch_wall:.1f}s", file=sys.stderr)
 
     # (b) compact (BA cost is capacity-proportional on the dense grid) ->
-    # cull + global BA.
+    # cull + plain global BA polish.
     state, _ = map_store.compact_points(state)
     live = int(state.num_points)
     cap = 1024
     while cap < int(1.25 * live):
         cap *= 2
     state = map_store.shrink_map(state, cap)
+    if os.environ.get("LARGE_SAVE_STATE"):
+        from sfm_mvs_tpu.utils import checkpoint as ckpt
+        ckpt.save_map(os.environ["LARGE_SAVE_STATE"], state)
     state, fin = finalize_map(state, max_iterations=15)
     fin_wall = time.time() - t_fin
 
@@ -206,7 +241,8 @@ def main():
         "ate": round(float(ate), 5),
         "stitch": {
             "strides": list(STITCH_STRIDES),
-            "injected_obs": n_injected,
+            "rounds": STITCH_ROUNDS,
+            "injected_obs_per_round": n_injected,
             "wall_s": round(stitch_wall, 1),
         },
         "finalize": fin,

@@ -197,8 +197,17 @@ def _weights(prob: BAProblem) -> jnp.ndarray:
     ).astype(prob.points.dtype)
 
 
-def _cost(prob: BAProblem, axis_name: str | None = None) -> jnp.ndarray:
+def _cost(
+    prob: BAProblem, axis_name: str | None = None, huber_delta: float = 0.0
+) -> jnp.ndarray:
     """Mean squared pixel residual over valid observations.
+
+    With `huber_delta` > 0 this is the mean HUBER cost instead (quadratic
+    below delta, linear above) — the same objective the robustified
+    `_lm_solve` step minimizes. Step and acceptance test MUST agree: with
+    squared acceptance, the few large (outlier / drift-revealing)
+    residuals dominate the accept metric while the IRLS step deliberately
+    down-weights them, and LM stalls rejecting its own steps.
 
     With `axis_name`, the point axis is sharded over that mesh axis and
     partial sums are psum-reduced.
@@ -207,7 +216,17 @@ def _cost(prob: BAProblem, axis_name: str | None = None) -> jnp.ndarray:
     r = _res_grid(
         prob.cam_params, prob.points, prob.obs_uv, prob.K, prob.intr
     )  # (P, C, 2)
-    num = jnp.sum(jnp.sum(r * r, axis=-1) * w)
+    sq = jnp.sum(r * r, axis=-1)
+    if huber_delta > 0.0:
+        rn = jnp.sqrt(jnp.maximum(sq, 1e-18))
+        rho = jnp.where(
+            rn <= huber_delta,
+            sq,
+            huber_delta * (2.0 * rn - huber_delta),
+        )
+    else:
+        rho = sq
+    num = jnp.sum(rho * w)
     den = jnp.sum(w)
     if axis_name is not None:
         num = jax.lax.psum(num, axis_name)
@@ -439,7 +458,7 @@ def run_ba(
     replicated and all camera-block reductions are psum'd, so the LM
     trajectory is identical to the single-device solve.
     """
-    cost0 = _cost(prob, axis_name)
+    cost0 = _cost(prob, axis_name, huber_delta)
 
     def body(carry):
         prob, lam, cost, it, accepted = carry
@@ -451,7 +470,7 @@ def run_ba(
             points=prob.points + dp,
             intr=prob.intr + dt,
         )
-        new_cost = _cost(cand, axis_name)
+        new_cost = _cost(cand, axis_name, huber_delta)
         improve = new_cost < cost
         prob = jax.tree_util.tree_map(
             lambda new, old: jnp.where(improve, new, old), cand, prob

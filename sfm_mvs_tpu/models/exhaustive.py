@@ -175,7 +175,7 @@ def best_bootstrap_pair(
     return int(graph.pair_i[idx]), int(graph.pair_j[idx])
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "max_err_px", "epipolar_verify"))
 def inject_reobservations(
     state,
     cam_i: jnp.ndarray,
@@ -184,12 +184,27 @@ def inject_reobservations(
     feats_j: Features,
     track_i: jnp.ndarray,
     cfg: SfmConfig,
+    key: Optional[jnp.ndarray] = None,
+    max_err_px: Optional[float] = None,
+    epipolar_verify: bool = False,
 ):
     """Add loop-closure observations: match the (non-adjacent) pair
     (cam_i, cam_j); wherever frame i's feature already tracks a map point,
     record that point's observation in camera j (gated by positive depth,
     reprojection error, and not already observed there). One direction —
     call twice with swapped arguments for both.
+
+    Gate semantics matter for drift correction. The default gate
+    (`max_err_px=None` -> cfg.ransac.pnp_threshold_px) accepts only
+    matches that already agree with the CURRENT global geometry — safe,
+    but on a drifted map it rejects exactly the long-range constraints
+    that would reveal the drift (measured: a 250-camera 145-degree arc
+    stayed at ATE 1.7% because every >4px stitch match was dropped).
+    For stitching drifted maps pass `epipolar_verify=True` (+ a `key`):
+    matches are verified by pair-local E-RANSAC — a DRIFT-INDEPENDENT
+    two-view check — and `max_err_px` should be loosened to a sanity
+    bound (e.g. 64px) so the bend becomes visible to the global BA,
+    which then pulls it out (robust phase of `refine.finalize_map`).
 
     Returns (state, num_injected)."""
     from sfm_mvs_tpu.models import map_store
@@ -199,6 +214,22 @@ def inject_reobservations(
         ratio=cfg.frontend.lowe_ratio,
     )
     uv_i, uv_j, mvalid = matching.gather_match_points(feats_i.xy, feats_j.xy, m)
+    if epipolar_verify:
+        if key is None:
+            raise ValueError("epipolar_verify=True requires a PRNG key")
+        K = state.K
+        n_i = projection.normalize_points(uv_i, K)
+        n_j = projection.normalize_points(uv_j, K)
+        res = ransac.ransac_essential(
+            key, n_i, n_j, mvalid, 0.5 * (K[0, 0] + K[1, 1]),
+            threshold_px=cfg.ransac.essential_threshold_px,
+            iters=cfg.ransac.essential_iters,
+        )
+        # Require a real two-view geometry before trusting its inliers:
+        # a spurious far pair yields a degenerate E with few inliers.
+        enough = res.num_inliers >= 16
+        mvalid = mvalid & res.inliers & enough
+    gate_px = cfg.ransac.pnp_threshold_px if max_err_px is None else max_err_px
     tids = track_i[m.idx0]
     P = state.points.shape[0]
     safe = jnp.clip(tids, 0, P - 1)
@@ -211,7 +242,7 @@ def inject_reobservations(
     ok = (
         has
         & (depth > 0)
-        & (err < cfg.ransac.pnp_threshold_px)
+        & (err < gate_px)
         & fresh
     )
     state = map_store.append_observations(state, cam_j, tids, uv_j, ok)

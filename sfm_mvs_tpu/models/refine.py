@@ -44,12 +44,31 @@ def finalize_map(
     max_iterations: int = 20,
     cull_px: float = 4.0,
     rounds: int = 2,
+    robust_iterations: int = 0,
+    robust_huber_px: float = 3.0,
+    cg_iters: int = 20,
 ) -> tuple[MapState, dict]:
-    """Cull -> global BA, repeated `rounds` times (the final polish)."""
+    """Cull -> global BA, repeated `rounds` times (the final polish).
+
+    robust_iterations > 0 prepends a RELAXATION phase: Huber-robustified
+    global BA run BEFORE any cull. On a drifted map the long-range
+    (loop-closure / stitch) observations carry large reprojection errors;
+    culling first would delete exactly the constraints that localize the
+    drift. The robust phase lets them pull the trajectory straight with
+    bounded influence, after which the normal cull->BA rounds clean up.
+    """
     info = {}
+    if robust_iterations > 0:
+        state, stats = ba_mod.bundle_adjust_map(
+            state, max_iterations=robust_iterations, cg_iters=cg_iters,
+            huber_delta=robust_huber_px,
+        )
+        info["robust_cost"] = float(stats.final_cost)
     for r in range(rounds):
         state = cull_map(state, max_error_px=cull_px)
-        state, stats = ba_mod.bundle_adjust_map(state, max_iterations=max_iterations)
+        state, stats = ba_mod.bundle_adjust_map(
+            state, max_iterations=max_iterations, cg_iters=cg_iters,
+        )
         info[f"round{r}_cost"] = float(stats.final_cost)
     info["points"] = int(jnp.sum(state.point_valid))
     return state, info

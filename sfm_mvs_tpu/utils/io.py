@@ -99,6 +99,35 @@ def to_ply(
     return int(keep.sum())
 
 
+def read_ply(path: str):
+    """Read an ASCII PLY written by `to_ply` back to (points, colors_bgr).
+
+    Honors the header's property order, so files that declare blue,green,
+    red (the reference's order, sfm.py:186-195) come back as BGR and
+    plain red,green,blue files come back converted to BGR too.
+    """
+    with open(path) as f:
+        props = []
+        n = 0
+        for line in f:
+            tok = line.split()
+            if tok[:2] == ["element", "vertex"]:
+                n = int(tok[2])
+            elif tok[:1] == ["property"]:
+                props.append(tok[2])
+            elif tok[:1] == ["end_header"]:
+                break
+        data = np.loadtxt(f, dtype=np.float64, max_rows=n)
+    data = data.reshape(n, len(props))
+    idx = {p: i for i, p in enumerate(props)}
+    pts = data[:, [idx["x"], idx["y"], idx["z"]]].astype(np.float32)
+    if "blue" in idx:
+        cols = data[:, [idx["blue"], idx["green"], idx["red"]]].astype(np.float32)
+    else:
+        cols = None
+    return pts, cols
+
+
 def map_to_ply(path: str, state: MapState, scale: float = 200.0, outlier_offset: float = 300.0) -> int:
     """Export a MapState's valid points as PLY."""
     valid = np.asarray(state.point_valid)

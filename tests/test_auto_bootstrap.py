@@ -100,3 +100,47 @@ def test_loop_closures_add_observations():
     # injected observations survive the cull (they are geometric inliers)
     tl = np.asarray(state.obs_mask).sum()
     assert tl > 0.9 * obs_before
+
+
+def test_epipolar_verified_injection_sees_through_drift():
+    """The map-agreement gate rejects matches that disagree with a DRIFTED
+    pose; pair-local E-RANSAC verification is drift-independent, so with a
+    loose sanity gate the same matches inject (the stitch path that
+    straightens long arcs in benchmarks/large_scene.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sfm_mvs_tpu.models.incremental import IncrementalSfM
+
+    imgs, Rt_gt, K = render_staircase_sequence(
+        num_cameras=6, arc_degrees=30, image_size=(320, 240)
+    )
+    cfg = _cfg(K)
+    sfm = IncrementalSfM(cfg)
+    state = sfm.run(imgs)
+    feats = sfm._cam_feats
+    # Simulate accumulated drift: rotate the LAST camera by ~2 degrees.
+    import sfm_mvs_tpu.ops.lie as lie
+
+    cam_j = int(np.asarray(state.cam_valid).sum()) - 1
+    poses = np.asarray(state.poses).copy()
+    dR = np.asarray(lie.so3_exp(jnp.asarray([0.0, 0.035, 0.0])))
+    poses[cam_j, :, :3] = dR @ poses[cam_j, :, :3]
+    drifted = state._replace(poses=jnp.asarray(poses))
+    # The sequential driver keeps per-camera features + track vectors
+    # (consumed by its own loop-closure pass in finalize()).
+    track1 = sfm._cam_tracks[1]
+    key = jax.random.PRNGKey(3)
+    args = (
+        jnp.asarray(1, jnp.int32), jnp.asarray(cam_j, jnp.int32),
+        feats[1], feats[cam_j], jnp.asarray(track1),
+    )
+    _, n_map_gate = exhaustive.inject_reobservations(drifted, *args, cfg)
+    _, n_epi_gate = exhaustive.inject_reobservations(
+        drifted, *args, cfg, key=key, max_err_px=64.0, epipolar_verify=True
+    )
+    # ~2 deg of drift at f=400 is a ~25px offset: the 4px map gate drops
+    # (nearly) everything; the epipolar gate keeps a real population
+    # (bounded by how many frame-1 tracks lack a cam_j observation).
+    assert int(n_epi_gate) >= 10
+    assert int(n_map_gate) <= int(n_epi_gate) // 3

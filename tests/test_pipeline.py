@@ -96,6 +96,22 @@ def test_ply_and_pose_export(tmp_path, reconstruction):
     assert len(vals) == 9 + 5 * 12  # K + five 3x4 projection matrices
 
 
+def test_ply_round_trip(tmp_path, reconstruction):
+    """read_ply inverts to_ply (same points after x200 scale, BGR order)."""
+    sfm, state, Rt_gt = reconstruction
+    n = io.map_to_ply(str(tmp_path / "rt.ply"), state)
+    pts, cols = io.read_ply(str(tmp_path / "rt.ply"))
+    assert pts.shape == (n, 3) and cols.shape == (n, 3)
+    valid = np.asarray(state.point_valid)
+    raw = np.asarray(state.points)[valid] * 200.0
+    mean = raw.mean(axis=0)
+    keep = np.linalg.norm(raw - mean, axis=1) < np.linalg.norm(
+        raw - mean, axis=1
+    ).mean() + 300.0
+    np.testing.assert_allclose(pts, raw[keep], atol=1e-3)
+    assert cols.min() >= 0 and cols.max() <= 255
+
+
 def test_finalize_improves_map(reconstruction):
     """Cull + final global BA drops cost and keeps the trajectory."""
     from sfm_mvs_tpu.models import ba as ba_mod
