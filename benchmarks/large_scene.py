@@ -90,7 +90,7 @@ def main():
 
     def window_ba(state):
         state, _ = ba.bundle_adjust_window(
-            state, window_cams=16, window_points=wp,
+            state, window_cams=24, window_points=wp,
             max_iterations=6, cg_iters=12,
         )
         return state
@@ -157,22 +157,32 @@ def main():
             key=k, max_err_px=64.0, epipolar_verify=True,
         )
 
-    STITCH_STRIDES = (4, 16, 64)
-    STITCH_ROUNDS = 3
+    STITCH_STRIDES = (4, 8, 16, 32, 64)
+    STITCH_ROUNDS = 2
 
     def stitch_pass(state, skey):
+        # Both directions per pair: (i -> i+s) injects into camera i+s,
+        # the swap injects into camera i — without it the last s frames
+        # of each stride never receive long-range observations and the
+        # arc ends stay the weakest-constrained cameras (measured: the
+        # end cameras carry ~3x the median aligned position error).
         injected = []
         for s in STITCH_STRIDES:
             for i in range(1, N_FRAMES - s, 2):
-                if i not in tracks_kept:
+                if i not in tracks_kept or (i + s) not in tracks_kept:
                     continue
-                skey, k = jax.random.split(skey)
-                st_, n = inject(
-                    k, state, jnp.asarray(i, jnp.int32),
+                skey, ka, kb = jax.random.split(skey, 3)
+                st_, n1 = inject(
+                    ka, state, jnp.asarray(i, jnp.int32),
                     jnp.asarray(i + s, jnp.int32),
                     feats_kept[i], feats_kept[i + s], tracks_kept[i],
                 )
-                state, injected = st_, injected + [n]
+                st_, n2 = inject(
+                    kb, st_, jnp.asarray(i + s, jnp.int32),
+                    jnp.asarray(i, jnp.int32),
+                    feats_kept[i + s], feats_kept[i], tracks_kept[i + s],
+                )
+                state, injected = st_, injected + [n1, n2]
         return state, int(sum(int(x) for x in injected)), skey
 
     # Camera id of frame i: bootstrap pair (0,1) -> cams (0,1), frame i>=2
@@ -221,6 +231,10 @@ def main():
         if n_cams == N_FRAMES
         else float("nan")
     )
+    # Normalize explicitly: raw ATE is in ground-truth scene units; the
+    # usual relative metric divides by the trajectory path length.
+    gt_c = evaluate.camera_centers(Rt_gt[:n_cams])
+    path_len = float(np.sum(np.linalg.norm(np.diff(gt_c, axis=0), axis=1)))
     result = {
         "metric": "large_scene_sfm",
         "frames": N_FRAMES,
@@ -228,8 +242,8 @@ def main():
         "resolution": [W, H],
         "ba": {
             "mode": "windowed",
-            "window_cams": 16,
-            "window_points": 16_384,
+            "window_cams": 24,
+            "window_points": wp,
             "cadence": BA_CADENCE,
             "iters": 6,
         },
@@ -239,6 +253,9 @@ def main():
         "points": live,
         "observations": int(map_store.num_observations(state)),
         "ate": round(float(ate), 5),
+        "ate_units": "ground-truth scene units (camera orbit radius 9.0)",
+        "gt_path_length": round(path_len, 2),
+        "ate_pct_of_path": round(100.0 * float(ate) / path_len, 4),
         "stitch": {
             "strides": list(STITCH_STRIDES),
             "rounds": STITCH_ROUNDS,
@@ -248,7 +265,7 @@ def main():
         "finalize": fin,
         "finalize_wall_s": round(fin_wall, 1),
         "cost_model": (
-            "windowed BA evaluates a fixed (16384, 16) sub-grid per call "
+            "windowed BA evaluates a fixed (Wp, 24) sub-grid per call "
             "(O(Wp*Wc), capacity-independent); segment fps flat vs camera "
             "count is the evidence. Global-grid BA (round 2) was O(P*C) "
             "per call: 2.1 fps at C=120."

@@ -570,22 +570,32 @@ class IncrementalSfM:
             pairs = exhaustive.strongest_loop_pairs(
                 graph, self.config.loop_close_pairs
             )
+            # Epipolar-verified with a loose map gate: on a drifted map
+            # the default map-agreement gate rejects exactly the matches
+            # that localize the drift (see inject_reobservations doc).
+            ckey = jax.random.PRNGKey(int(state.num_cams))
             for i, j in pairs:
+                ckey, k1, k2 = jax.random.split(ckey, 3)
                 state, n1 = exhaustive.inject_reobservations(
                     state, jnp.asarray(i), jnp.asarray(j),
                     self._cam_feats[i], self._cam_feats[j],
                     self._cam_tracks[i], self.config,
+                    key=k1, max_err_px=64.0, epipolar_verify=True,
                 )
                 state, n2 = exhaustive.inject_reobservations(
                     state, jnp.asarray(j), jnp.asarray(i),
                     self._cam_feats[j], self._cam_feats[i],
                     self._cam_tracks[j], self.config,
+                    key=k2, max_err_px=64.0, epipolar_verify=True,
                 )
                 n_closed += int(n1) + int(n2)
             self.state = self.state._replace(map=state)
 
         state, info = finalize_map(
-            state, max_iterations=ba_iterations, cull_px=cull_px
+            state, max_iterations=ba_iterations, cull_px=cull_px,
+            # Loop-closure observations may carry large (drift-revealing)
+            # errors; relax robustly before the cull can delete them.
+            robust_iterations=30 if n_closed else 0,
         )
         if n_closed:
             info["loop_closure_obs"] = n_closed
