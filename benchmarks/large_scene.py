@@ -150,15 +150,19 @@ def main():
     # gate rejected every match that exposed the accumulated bend (first
     # 250-frame run: ATE 1.9% pre-stitch, 1.66% with map-gated stitch —
     # the bend was invisible to the global BA by construction).
-    @jax.jit
-    def inject(k, st, ci, cj, fi, fj, ti):
-        return exhaustive.inject_reobservations(
-            st, ci, cj, fi, fj, ti, cfg,
-            key=k, max_err_px=64.0, epipolar_verify=True,
-        )
-
+    # Pairs go through inject_reobservations_batch in fixed-size chunks
+    # (one compiled program, pair loop on-device): the sequential
+    # per-pair version paid tunnel RPC latency 2400x = 335 s wall.
     STITCH_STRIDES = (4, 8, 16, 32, 64)
     STITCH_ROUNDS = 2
+    BATCH = 32
+
+    frames = [i for i in range(1, N_FRAMES) if i in tracks_kept]
+    frame_row = {f: r for r, f in enumerate(frames)}
+    all_feats = jax.tree_util.tree_map(
+        lambda *l: jnp.stack(l), *[feats_kept[i] for i in frames]
+    )
+    all_tracks = jnp.stack([tracks_kept[i] for i in frames])
 
     def stitch_pass(state, skey):
         # Both directions per pair: (i -> i+s) injects into camera i+s,
@@ -166,24 +170,37 @@ def main():
         # of each stride never receive long-range observations and the
         # arc ends stay the weakest-constrained cameras (measured: the
         # end cameras carry ~3x the median aligned position error).
-        injected = []
+        total = 0
         for s in STITCH_STRIDES:
-            for i in range(1, N_FRAMES - s, 2):
-                if i not in tracks_kept or (i + s) not in tracks_kept:
-                    continue
-                skey, ka, kb = jax.random.split(skey, 3)
-                st_, n1 = inject(
-                    ka, state, jnp.asarray(i, jnp.int32),
-                    jnp.asarray(i + s, jnp.int32),
-                    feats_kept[i], feats_kept[i + s], tracks_kept[i],
-                )
-                st_, n2 = inject(
-                    kb, st_, jnp.asarray(i + s, jnp.int32),
-                    jnp.asarray(i, jnp.int32),
-                    feats_kept[i + s], feats_kept[i], tracks_kept[i + s],
-                )
-                state, injected = st_, injected + [n1, n2]
-        return state, int(sum(int(x) for x in injected)), skey
+            base = [i for i in range(1, N_FRAMES - s, 2)
+                    if i in frame_row and (i + s) in frame_row]
+            for src, dst in ((base, [i + s for i in base]),
+                             ([i + s for i in base], base)):
+                for c0 in range(0, len(src), BATCH):
+                    chunk_s = src[c0 : c0 + BATCH]
+                    chunk_d = dst[c0 : c0 + BATCH]
+                    nb = len(chunk_s)
+                    chunk_s = chunk_s + [chunk_s[-1]] * (BATCH - nb)
+                    chunk_d = chunk_d + [chunk_d[-1]] * (BATCH - nb)
+                    rows_s = np.asarray([frame_row[f] for f in chunk_s])
+                    skey, kb = jax.random.split(skey)
+                    state, counts = exhaustive.inject_reobservations_batch(
+                        state,
+                        jnp.asarray(chunk_d, jnp.int32),
+                        jax.tree_util.tree_map(lambda a: a[rows_s], all_feats),
+                        jax.tree_util.tree_map(
+                            lambda a: a[np.asarray([frame_row[f] for f in chunk_d])],
+                            all_feats,
+                        ),
+                        all_tracks[rows_s],
+                        jnp.arange(BATCH) < nb,
+                        cfg,
+                        jax.random.split(kb, BATCH),
+                        max_err_px=64.0,
+                        epipolar_verify=True,
+                    )
+                    total += int(counts.sum())
+        return state, total, skey
 
     # Camera id of frame i: bootstrap pair (0,1) -> cams (0,1), frame i>=2
     # -> cam i (all frames registered; verified below before trusting ids).

@@ -209,14 +209,30 @@ def inject_reobservations(
     Returns (state, num_injected)."""
     from sfm_mvs_tpu.models import map_store
 
+    if epipolar_verify and key is None:
+        raise ValueError("epipolar_verify=True requires a PRNG key")
+    tids, uv_j, ok = _reobservation_candidates(
+        state, cam_j, feats_i, feats_j, track_i, cfg,
+        key if key is not None else jax.random.PRNGKey(0),
+        max_err_px, epipolar_verify,
+    )
+    state = map_store.append_observations(state, cam_j, tids, uv_j, ok)
+    return state, jnp.sum(ok)
+
+
+def _reobservation_candidates(
+    state, cam_j, feats_i, feats_j, track_i, cfg: SfmConfig,
+    key, max_err_px, epipolar_verify,
+):
+    """Match + gate one pair; returns (tids, uv_j, ok) without writing."""
+    from sfm_mvs_tpu.models import map_store
+
     m = matching.knn_match(
         feats_i.desc, feats_j.desc, feats_i.valid, feats_j.valid,
         ratio=cfg.frontend.lowe_ratio,
     )
     uv_i, uv_j, mvalid = matching.gather_match_points(feats_i.xy, feats_j.xy, m)
     if epipolar_verify:
-        if key is None:
-            raise ValueError("epipolar_verify=True requires a PRNG key")
         K = state.K
         n_i = projection.normalize_points(uv_i, K)
         n_j = projection.normalize_points(uv_j, K)
@@ -245,8 +261,55 @@ def inject_reobservations(
         & (err < gate_px)
         & fresh
     )
-    state = map_store.append_observations(state, cam_j, tids, uv_j, ok)
-    return state, jnp.sum(ok)
+    return tids, uv_j, ok
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_err_px", "epipolar_verify"))
+def inject_reobservations_batch(
+    state,
+    cam_js: jnp.ndarray,
+    feats_i: Features,
+    feats_j: Features,
+    tracks_i: jnp.ndarray,
+    pair_valid: jnp.ndarray,
+    cfg: SfmConfig,
+    keys: jnp.ndarray,
+    max_err_px: Optional[float] = None,
+    epipolar_verify: bool = False,
+):
+    """Batched `inject_reobservations`: B pairs in ONE dispatch.
+
+    feats_*: Features trees with a leading (B,) axis; tracks_i: (B, F);
+    pair_valid: (B,) mask (pad slots False, so one compiled program
+    serves any pair count). Target cameras `cam_js` must be DISTINCT
+    among valid pairs — each pair writes its own (point, cam_j) column
+    of the observation grid and XLA scatter order between duplicate
+    targets is unspecified.
+
+    Motivation: the sequential stitch in benchmarks/large_scene.py paid
+    per-dispatch tunnel RPC latency 2400x (~335 s wall for ~0.14 s of
+    device work per call); batching moves the pair loop on-device, the
+    same design as `build_view_graph`'s vmapped pair geometry.
+
+    Returns (state, per-pair injected counts (B,)).
+    """
+    from sfm_mvs_tpu.models import map_store
+
+    def one(key, cam_j, fi, fj, ti):
+        return _reobservation_candidates(
+            state, cam_j, fi, fj, ti, cfg, key, max_err_px, epipolar_verify
+        )
+
+    tids, uv, ok = jax.vmap(one)(keys, cam_js, feats_i, feats_j, tracks_i)
+    ok = ok & pair_valid[:, None]
+    P = state.points.shape[0]
+    dest = jnp.where(ok & (tids >= 0), tids, P)  # (B, M)
+    cam = jnp.where(pair_valid, cam_js, state.poses.shape[0])[:, None]
+    state = state._replace(
+        obs_uv=state.obs_uv.at[dest, cam].set(uv, mode="drop"),
+        obs_mask=state.obs_mask.at[dest, cam].set(ok, mode="drop"),
+    )
+    return state, jnp.sum(ok, axis=1)
 
 
 def strongest_loop_pairs(

@@ -144,3 +144,53 @@ def test_epipolar_verified_injection_sees_through_drift():
     # (bounded by how many frame-1 tracks lack a cam_j observation).
     assert int(n_epi_gate) >= 10
     assert int(n_map_gate) <= int(n_epi_gate) // 3
+
+
+def test_batched_injection_matches_sequential():
+    """inject_reobservations_batch (one dispatch, distinct targets) must
+    produce the same observation grid as the sequential per-pair calls."""
+    import jax
+    import jax.numpy as jnp
+
+    imgs, Rt_gt, K = render_staircase_sequence(
+        num_cameras=6, arc_degrees=30, image_size=(320, 240)
+    )
+    cfg = _cfg(K)
+    sfm = IncrementalSfM(cfg)
+    state = sfm.run(imgs)
+    feats, tracks = sfm._cam_feats, sfm._cam_tracks
+    pairs = [(0, 3), (1, 4), (2, 5)]  # distinct targets
+    keys = jax.random.split(jax.random.PRNGKey(11), len(pairs))
+
+    seq = state
+    for (i, j), k in zip(pairs, keys):
+        seq, _ = exhaustive.inject_reobservations(
+            seq, jnp.asarray(i), jnp.asarray(j), feats[i], feats[j],
+            jnp.asarray(tracks[i]), cfg,
+            key=k, max_err_px=32.0, epipolar_verify=True,
+        )
+
+    stack = lambda xs: jax.tree_util.tree_map(lambda *l: jnp.stack(l), *xs)
+    fi = stack([feats[i] for i, _ in pairs])
+    fj = stack([feats[j] for _, j in pairs])
+    ti = jnp.stack([jnp.asarray(tracks[i]) for i, _ in pairs])
+    cam_js = jnp.asarray([j for _, j in pairs])
+    # Pad one invalid slot to prove the pair_valid mask works.
+    pad = lambda t: jax.tree_util.tree_map(
+        lambda a: jnp.concatenate([a, a[:1]]), t
+    )
+    bat, counts = exhaustive.inject_reobservations_batch(
+        state, jnp.concatenate([cam_js, cam_js[:1]]),
+        pad(fi), pad(fj), jnp.concatenate([ti, ti[:1]]),
+        jnp.asarray([True, True, True, False]), cfg,
+        jnp.concatenate([keys, keys[:1]]),
+        max_err_px=32.0, epipolar_verify=True,
+    )
+    assert int(counts[3]) == 0  # padded slot injected nothing
+    assert int(counts[:3].sum()) > 0
+    np.testing.assert_array_equal(
+        np.asarray(seq.obs_mask), np.asarray(bat.obs_mask)
+    )
+    np.testing.assert_allclose(
+        np.asarray(seq.obs_uv), np.asarray(bat.obs_uv), atol=1e-5
+    )
