@@ -28,6 +28,11 @@ import time
 import numpy as np
 
 N_FRAMES = int(os.environ.get("BENCH_FRAMES", "57"))
+# Tunnel-noise hardening: the timed loop reruns BENCH_REPS times with warm
+# compiles (r02's identical code printed 39.8 fps under a loaded compile
+# server and 46.4 from the driver; r03 printed 35.3 — single samples can't
+# separate code regressions from tunnel load). Canonical value = MEDIAN rep.
+N_REPS = int(os.environ.get("BENCH_REPS", "3"))
 IMAGE_SIZE = (
     (968, 648)
     if os.environ.get("BENCH_SMALL", "0") != "1"
@@ -92,8 +97,15 @@ def main():
     log(f"staged {N_FRAMES} frames to device in {time.time()-t0:.1f}s")
 
     @partial(jax.jit, static_argnames=())
-    def detect_u8(img8):
-        return sift.detect_and_compute(img8.astype(jnp.float32) / 255.0, cfg.frontend)
+    def detect_u8(img8, eps=0.0):
+        # eps is a zero-VALUED but data-dependent scalar used to chain
+        # reps: the axon tunnel dedups/reorders dispatches with identical
+        # inputs (CLAUDE.md timing pitfall; un-chained reps measured a
+        # fake 110+ fps), so rep r's inputs must depend on rep r-1's
+        # output to force real execution.
+        return sift.detect_and_compute(
+            img8.astype(jnp.float32) / 255.0 + eps, cfg.frontend
+        )
 
     def gray_bgr(img8):
         return jnp.repeat(img8[..., None], 3, axis=-1).astype(jnp.float32)
@@ -102,8 +114,8 @@ def main():
     # fusing them into one mega-program compiles 3x slower (484s) AND runs
     # 2.3x slower per frame (3.0s vs 1.3s) — XLA schedules the merged
     # graph worse than the three separately-optimized programs.
-    def frame_step(key, pstate, img8):
-        feats = detect_u8(img8)
+    def frame_step(key, pstate, img8, eps=0.0):
+        feats = detect_u8(img8, eps)
         pstate, st = register_frame(key, pstate, feats, gray_bgr(img8), cfg)
         mstate, ba_stats = ba.bundle_adjust_map(
             pstate.map, max_iterations=8, cg_iters=15
@@ -116,23 +128,38 @@ def main():
     t0 = time.time()
     f0, f1 = detect_u8(stack8[0]), detect_u8(stack8[1])
     key, k0 = jax.random.split(key)
-    pstate, st = init_from_bootstrap(k0, f0, f1, gray_bgr(stack8[1]), Kj, cfg)
+    pstate0, st = init_from_bootstrap(k0, f0, f1, gray_bgr(stack8[1]), Kj, cfg)
     key, k1 = jax.random.split(key)
-    pstate, _, _ = frame_step(k1, pstate, stack8[2])
+    pstate, _, _ = frame_step(k1, pstate0, stack8[2], jnp.float32(0.0))
     jax.block_until_ready(pstate.map.points)
     log(f"compile+bootstrap: {time.time()-t0:.1f}s")
 
-    # --- Timed steady-state loop: frames 3..N-1, one dispatch per frame. ---
+    # --- Timed steady-state loop: frames 3..N-1, one dispatch per frame.
+    # Repeated N_REPS times from the same post-bootstrap state with warm
+    # compiles; identical keys per rep -> identical work, pure timing reps.
     n_timed = N_FRAMES - 3
-    ba_costs = []
     keys = jax.random.split(key, N_FRAMES)
-    t0 = time.time()
-    for i in range(3, N_FRAMES):
-        pstate, st, ba_stats = frame_step(keys[i], pstate, stack8[i])
-        ba_costs.append(ba_stats.final_cost)  # device scalars, no sync
-    jax.block_until_ready(pstate.map.points)
-    elapsed = time.time() - t0
-    fps = n_timed / elapsed
+    rep_fps = []
+    eps = jnp.float32(0.0)  # becomes data-dependent after rep 0
+    for rep in range(max(1, N_REPS)):
+        pstate, _, ba_stats = frame_step(k1, pstate0, stack8[2], eps)
+        jax.block_until_ready(pstate.map.points)
+        ba_costs = []
+        t0 = time.time()
+        for i in range(3, N_FRAMES):
+            pstate, st, ba_stats = frame_step(keys[i], pstate, stack8[i], eps)
+            ba_costs.append(ba_stats.final_cost)  # device scalars, no sync
+        jax.block_until_ready(pstate.map.points)
+        elapsed = time.time() - t0
+        rep_fps.append(n_timed / elapsed)
+        log(f"rep {rep}: frames/s={rep_fps[-1]:.3f} ({elapsed:.2f}s)")
+        # Chain the next rep through this rep's output (see detect_u8) AND
+        # make its inputs value-distinct (defeats value-level result
+        # caching in the tunnel; 1e-6 on [0,1] pixels is far below any
+        # detection threshold, so the workload is unchanged).
+        eps = ba_stats.final_cost * 0.0 + jnp.float32(1e-6) * (rep + 1)
+    fps = float(np.median(rep_fps))
+    elapsed = n_timed / fps
 
     state = pstate.map
     n_cams = int(np.asarray(state.cam_valid).sum())
@@ -213,6 +240,7 @@ def main():
                 "value": round(fps, 4),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / REFERENCE_BA_FPS, 2),
+                "reps": [round(f, 3) for f in rep_fps],
             }
         )
     )

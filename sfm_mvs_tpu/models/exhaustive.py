@@ -243,7 +243,7 @@ def _reobservation_candidates(
         )
         # Require a real two-view geometry before trusting its inliers:
         # a spurious far pair yields a degenerate E with few inliers.
-        enough = res.num_inliers >= 16
+        enough = res.num_inliers >= cfg.ransac.stitch_min_inliers
         mvalid = mvalid & res.inliers & enough
     gate_px = cfg.ransac.pnp_threshold_px if max_err_px is None else max_err_px
     tids = track_i[m.idx0]
@@ -310,6 +310,190 @@ def inject_reobservations_batch(
         obs_mask=state.obs_mask.at[dest, cam].set(ok, mode="drop"),
     )
     return state, jnp.sum(ok, axis=1)
+
+
+class StitchCandidates(NamedTuple):
+    """Verified (match + pair-local E-RANSAC) stitch candidates for a batch
+    of pairs, BOTH directions, with the expensive geometry-independent work
+    done exactly once. Re-applying them against updated map geometry
+    (apply_stitch_batch) costs only a projection gate + scatter — so the
+    stitch<->robust-BA alternation pays for matching/RANSAC once, not once
+    per round (round-3's second stitch round re-ran the full match+verify
+    per pair and was ~half of the 335 s stitch wall)."""
+
+    cam_a: jnp.ndarray  # (B,) destination cameras, direction i->j
+    tids_a: jnp.ndarray  # (B, M) map point ids (from tracks_i via idx0)
+    uv_a: jnp.ndarray  # (B, M, 2) observation pixels in cam_a
+    cam_b: jnp.ndarray  # (B,) destination cameras, direction j->i
+    tids_b: jnp.ndarray  # (B, M)
+    uv_b: jnp.ndarray  # (B, M, 2)
+    ok: jnp.ndarray  # (B, M) epipolar-verified match mask (shared)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def stitch_candidates_batch(
+    state,
+    cam_is: jnp.ndarray,
+    cam_js: jnp.ndarray,
+    feats_i: Features,
+    feats_j: Features,
+    tracks_i: jnp.ndarray,
+    tracks_j: jnp.ndarray,
+    pair_valid: jnp.ndarray,
+    cfg: SfmConfig,
+    keys: jnp.ndarray,
+) -> StitchCandidates:
+    """Match + epipolar-verify B pairs in one dispatch; derive BOTH
+    injection directions from the single match set (the match and the
+    E-RANSAC are symmetric in the pair — round 3 ran them twice).
+
+    feats_*: Features trees with a leading (B,) axis; tracks_*: (B, F);
+    pair_valid: (B,). Gating against map geometry is NOT done here — see
+    apply_stitch_batch — so candidates stay valid across BA rounds.
+    """
+
+    def one(key, fi, fj, ti, tj):
+        m = matching.knn_match(
+            fi.desc, fj.desc, fi.valid, fj.valid,
+            ratio=cfg.frontend.lowe_ratio,
+        )
+        uv_i, uv_j, mvalid = matching.gather_match_points(fi.xy, fj.xy, m)
+        K = state.K
+        n_i = projection.normalize_points(uv_i, K)
+        n_j = projection.normalize_points(uv_j, K)
+        res = ransac.ransac_essential(
+            key, n_i, n_j, mvalid, 0.5 * (K[0, 0] + K[1, 1]),
+            threshold_px=cfg.ransac.essential_threshold_px,
+            iters=cfg.ransac.essential_iters,
+        )
+        enough = res.num_inliers >= cfg.ransac.stitch_min_inliers
+        ok = mvalid & res.inliers & enough
+        return ti[m.idx0], uv_j, tj[m.idx1], uv_i, ok
+
+    tids_a, uv_a, tids_b, uv_b, ok = jax.vmap(one)(
+        keys, feats_i, feats_j, tracks_i, tracks_j
+    )
+    ok = ok & pair_valid[:, None]
+    return StitchCandidates(
+        cam_a=cam_js, tids_a=tids_a, uv_a=uv_a,
+        cam_b=cam_is, tids_b=tids_b, uv_b=uv_b, ok=ok,
+    )
+
+
+@jax.jit
+def apply_stitch_batch(
+    state,
+    cam_dst: jnp.ndarray,
+    tids: jnp.ndarray,
+    uv: jnp.ndarray,
+    ok_epi: jnp.ndarray,
+    gate_px: jnp.ndarray,
+):
+    """Map-gated injection of pre-verified candidates (ONE direction).
+
+    cam_dst: (B,) destination cameras — MUST be distinct among rows with
+    any ok_epi (duplicate targets hit unspecified XLA scatter order);
+    callers chunk pairs so destinations are unique (see the guard in
+    benchmarks/large_scene.py). Gates: live point, positive depth,
+    reprojection within gate_px against CURRENT geometry, not already
+    observed. Cheap (projection + scatter, no matching/RANSAC) — safe to
+    re-run after every BA round as the geometry straightens.
+
+    Returns (state, per-pair injected counts (B,)).
+    """
+    from sfm_mvs_tpu.models import map_store
+
+    P = state.points.shape[0]
+    safe = jnp.clip(tids, 0, P - 1)
+    has = ok_epi & (tids >= 0) & state.point_valid[safe]
+    X = state.points[safe]  # (B, M, 3)
+    poses = state.poses[cam_dst]  # (B, 3, 4)
+
+    def gate_one(Xb, pose, uvb, hasb):
+        uv_proj, depth = projection.project_depth(Xb, pose, state.K)
+        err = jnp.linalg.norm(uv_proj - uvb, axis=-1)
+        return hasb & (depth > 0) & (err < gate_px)
+
+    ok = jax.vmap(gate_one)(X, poses, uv, has)
+    fresh = ~state.obs_mask[safe, cam_dst[:, None]]
+    ok = ok & fresh
+    dest = jnp.where(ok & (tids >= 0), tids, P)
+    cam = jnp.clip(cam_dst, 0, state.poses.shape[0] - 1)[:, None]
+    state = state._replace(
+        obs_uv=state.obs_uv.at[dest, cam].set(uv, mode="drop"),
+        obs_mask=state.obs_mask.at[dest, cam].set(ok, mode="drop"),
+    )
+    return state, jnp.sum(ok, axis=1)
+
+
+@jax.jit
+def covisibility_matrix(state) -> jnp.ndarray:
+    """(C, C) covisibility counts from the CURRENT map — the retrieval
+    signal for stitch-pair selection (replaces round-3's fixed strides).
+
+    cnt[i, j] = number of points camera i observes that also project
+    inside camera j's image with positive depth. One (C, P) x (P, C)
+    MXU matmul over the dense observation grid; C=256, P=128k is ~8.6
+    GFLOP — milliseconds. Same projected-geometry notion as
+    parallel/sharded_map.nearest_projected_sharded, reduced to a
+    camera-pair statistic.
+    """
+    pts = state.points  # (P, 3)
+    R = state.poses[:, :, :3]  # (C, 3, 3)
+    t = state.poses[:, :, 3]  # (C, 3)
+    Xc = jnp.einsum("cij,pj->cpi", R, pts) + t[:, None, :]
+    z = Xc[..., 2]
+    K = state.K
+    u = Xc[..., 0] / jnp.where(jnp.abs(z) < 1e-9, 1e-9, z) * K[0, 0] + K[0, 2]
+    v = Xc[..., 1] / jnp.where(jnp.abs(z) < 1e-9, 1e-9, z) * K[1, 1] + K[1, 2]
+    W = 2.0 * K[0, 2]
+    H = 2.0 * K[1, 2]
+    sees = (
+        (z > 0.0) & (u >= 0) & (u < W) & (v >= 0) & (v < H)
+        & state.point_valid[None, :] & state.cam_valid[:, None]
+    )  # (C, P)
+    obs = (state.obs_mask & state.point_valid[:, None]).astype(jnp.float32)
+    cnt = obs.T @ sees.T.astype(jnp.float32)  # (C, C)
+    return cnt.astype(jnp.int32)
+
+
+def retrieve_stitch_pairs(
+    cnt: "np.ndarray",
+    n_cams: int,
+    min_gap: int = 4,
+    min_covis: int = 48,
+    octaves: tuple = ((4, 8), (8, 16), (16, 32), (32, 64), (64, 1 << 30)),
+):
+    """Select stitch pairs from the covisibility matrix (host-side).
+
+    For each camera j, pick at most one partner i < j per DISTANCE OCTAVE
+    — the farthest covisible camera in each bucket (longest-range links
+    carry the most drift-straightening power; short ones densify local
+    tracks). Covisibility-driven, so non-overlapping pairs are never
+    matched (fixed strides wasted full match+RANSAC on them whenever the
+    stride outran the field of view). Returns a list of (i, j), i < j.
+    """
+    import numpy as _np
+
+    pairs = []
+    for j in range(n_cams):
+        for lo, hi in octaves:
+            cands = [
+                i
+                for i in range(max(0, j - min(hi - 1, j)), j - lo + 1)
+                if (j - i) >= max(lo, min_gap)
+                and cnt[i, j] >= min_covis
+            ]
+            if cands:
+                pairs.append((min(cands), j))
+    # Dedup while preserving order.
+    seen = set()
+    out = []
+    for p in pairs:
+        if p not in seen:
+            seen.add(p)
+            out.append(p)
+    return out
 
 
 def strongest_loop_pairs(

@@ -59,6 +59,23 @@ def _sample_colors(image_bgr: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
     return image_bgr[y, x].astype(jnp.float32)
 
 
+def _undistort_features(feats: Features, K: jnp.ndarray, cfg: SfmConfig):
+    """Front-door radial-distortion correction (cfg.k1/k2; zero = no-op).
+
+    Undistorting the detected keypoints once makes every downstream stage
+    (E-RANSAC, triangulation, PnP, BA, MVS rays) pinhole-consistent — the
+    same factorization as undistorting the images, at keypoint cost. The
+    reference instead threads dist through each cv2 call (sfm.py:67,88).
+    cfg is static under jit, so the zero-distortion path compiles away.
+    """
+    if cfg.k1 == 0.0 and cfg.k2 == 0.0:
+        return feats
+    from sfm_mvs_tpu.ops import projection
+
+    dist = jnp.array([cfg.k1, cfg.k2], dtype=feats.xy.dtype)
+    return feats._replace(xy=projection.undistort_pixels(feats.xy, K, dist))
+
+
 @partial(jax.jit, static_argnames=("cfg", "return_track0"))
 def init_from_bootstrap(
     key: jax.Array,
@@ -75,6 +92,8 @@ def init_from_bootstrap(
     feature slots (the auto-bootstrap driver registers frames on BOTH
     sides of the bootstrap pair, so both anchors need track vectors).
     """
+    feats0 = _undistort_features(feats0, K, cfg)
+    feats1 = _undistort_features(feats1, K, cfg)
     tv = bootstrap(key, feats0, feats1, K, cfg)
     state = map_store.init_map(K, cfg.map)
     state, cam0 = map_store.append_camera(state, tv.pose0)
@@ -126,6 +145,7 @@ def register_frame(
     fc, rc = cfg.frontend, cfg.ransac
     state = pstate.map
     K = state.K
+    new_feats = _undistort_features(new_feats, K, cfg)
     prev = pstate.prev_feats
 
     # 1. Match previous frame -> new frame (sfm.py:347 find_features).
@@ -580,13 +600,15 @@ class IncrementalSfM:
                     state, jnp.asarray(i), jnp.asarray(j),
                     self._cam_feats[i], self._cam_feats[j],
                     self._cam_tracks[i], self.config,
-                    key=k1, max_err_px=64.0, epipolar_verify=True,
+                    key=k1, max_err_px=self.config.map.stitch_gate_px,
+                    epipolar_verify=True,
                 )
                 state, n2 = exhaustive.inject_reobservations(
                     state, jnp.asarray(j), jnp.asarray(i),
                     self._cam_feats[j], self._cam_feats[i],
                     self._cam_tracks[j], self.config,
-                    key=k2, max_err_px=64.0, epipolar_verify=True,
+                    key=k2, max_err_px=self.config.map.stitch_gate_px,
+                    epipolar_verify=True,
                 )
                 n_closed += int(n1) + int(n2)
             self.state = self.state._replace(map=state)

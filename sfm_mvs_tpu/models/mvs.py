@@ -73,7 +73,116 @@ def _box_filter(x: jnp.ndarray, radius: int) -> jnp.ndarray:
     return (c[..., k:, :] - c[..., :-k, :]) / k
 
 
-@partial(jax.jit, static_argnames=("num_depths", "cost_radius"))
+def _downsample2(img: jnp.ndarray) -> jnp.ndarray:
+    """2x average-pool over the last two axes (crops odd trailing row/col)."""
+    H, W = img.shape[-2], img.shape[-1]
+    H2, W2 = H // 2, W // 2
+    x = img[..., : H2 * 2, : W2 * 2]
+    x = x.reshape(*img.shape[:-2], H2, 2, W2, 2)
+    return x.mean(axis=(-3, -1))
+
+
+def _scale_K(K: jnp.ndarray, s: float) -> jnp.ndarray:
+    """Intrinsics for an image downsampled by factor s (pixel centers at
+    integer coords: x_l = (x + 0.5)/s - 0.5)."""
+    S = jnp.array(
+        [[1.0 / s, 0.0, 0.5 / s - 0.5],
+         [0.0, 1.0 / s, 0.5 / s - 0.5],
+         [0.0, 0.0, 1.0]],
+        dtype=K.dtype,
+    )
+    return S @ K
+
+
+def _sweep_select(
+    ref_zm, nbrs_zm, Kl, R_rel, t_rel, center, offsets, cost_radius,
+    dist=None,
+):
+    """Evaluate per-pixel inverse-depth hypotheses `center + offsets[d]`
+    and select the best with parabolic sub-step refinement.
+
+    The per-depth warp never forms a homography: with a_m = R_rel ray_p
+    (per pixel, per neighbor, depth-independent; ray_p the ref pixel's
+    ideal camera ray) and h_m = t_rel, the warped camera point is
+    a_m + h_m * invd — one FMA per hypothesis. Neighbors are zero-meaned
+    ONCE in their own frame before warping, and the box filter (linear)
+    runs on the neighbor-AGGREGATED difference, so each hypothesis costs
+    2 filtered planes instead of 2M. With `dist` = (k1, k2), ref rays are
+    undistorted and neighbor projections re-distorted (both images remain
+    raw), at pure elementwise cost — no extra gathers.
+
+    Returns (invd_map, best_cost, mean_cost, den_at_best), each (H, W).
+    """
+    from sfm_mvs_tpu.ops import projection as proj
+
+    H, W = ref_zm.shape
+    dt = ref_zm.dtype
+    Kinv = jnp.linalg.inv(Kl)
+    ys, xs = jnp.meshgrid(
+        jnp.arange(H, dtype=dt), jnp.arange(W, dtype=dt), indexing="ij"
+    )
+    pix = jnp.stack([xs, ys, jnp.ones_like(xs)], axis=-1).reshape(-1, 3)
+    rays = pix @ Kinv.T  # (HW, 3) ideal camera rays (z = 1)
+    if dist is not None:
+        xy_u = proj.undistort_normalized(rays[:, :2], dist)
+        rays = jnp.concatenate([xy_u, jnp.ones_like(rays[:, 2:])], axis=1)
+    a = jnp.einsum("mij,pj->mpi", R_rel, rays)  # (M, HW, 3)
+    hv = t_rel  # (M, 3)
+    fx, fy = Kl[0, 0], Kl[1, 1]
+    cx, cy = Kl[0, 2], Kl[1, 2]
+    ref_flat = ref_zm.reshape(-1)
+
+    def cost_one(off):
+        iv = (center + off).reshape(-1)  # (HW,)
+        q = a + hv[:, None, :] * iv[None, :, None]  # (M, HW, 3)
+        z = q[..., 2]
+        zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+        xn = q[..., 0] / zs
+        yn = q[..., 1] / zs
+        if dist is not None:
+            xy_d = proj.distort_normalized(
+                jnp.stack([xn, yn], axis=-1), dist
+            )
+            xn, yn = xy_d[..., 0], xy_d[..., 1]
+        x = xn * fx + cx
+        y = yn * fy + cy
+
+        def samp(img, xm, ym, zm):
+            v, inside = _bilinear_sample(img, xm, ym)
+            return v, inside & (zm > 1e-6)
+
+        vals, insides = jax.vmap(samp)(nbrs_zm, x, y, z)  # (M, HW)
+        w = insides.astype(dt)
+        num = jnp.sum(jnp.abs(vals - ref_flat[None]) * w, axis=0)
+        den = jnp.sum(w, axis=0)
+        num_f = _box_filter(num.reshape(H, W), cost_radius)
+        den_f = _box_filter(den.reshape(H, W), cost_radius)
+        cost = jnp.where(
+            den_f > 1e-6, num_f / jnp.maximum(den_f, 1e-6), 1.0
+        )
+        return cost, den.reshape(H, W)
+
+    costs, dens = jax.lax.map(cost_one, offsets)  # (D, H, W)
+    D = offsets.shape[0]
+    best = jnp.argmin(costs, axis=0)
+    best_cost = jnp.min(costs, axis=0)
+    bm1 = jnp.clip(best - 1, 0, D - 1)
+    bp1 = jnp.clip(best + 1, 0, D - 1)
+    c0 = jnp.take_along_axis(costs, bm1[None], axis=0)[0]
+    c2 = jnp.take_along_axis(costs, bp1[None], axis=0)[0]
+    denom = c0 - 2 * best_cost + c2
+    shift = jnp.where(jnp.abs(denom) < 1e-9, 0.0, 0.5 * (c0 - c2) / denom)
+    shift = jnp.clip(shift, -1.0, 1.0)
+    step = offsets[1] - offsets[0] if D > 1 else jnp.zeros((), dt)
+    invd = center + offsets[best] + shift * step
+    mean_cost = jnp.mean(costs, axis=0)
+    den_best = jnp.take_along_axis(dens, best[None], axis=0)[0]
+    return invd, best_cost, mean_cost, den_best
+
+
+@partial(jax.jit, static_argnames=(
+    "num_depths", "cost_radius", "coarse_levels", "refine_hyps",
+))
 def plane_sweep_depth(
     ref_img: jnp.ndarray,
     nbr_imgs: jnp.ndarray,
@@ -85,18 +194,25 @@ def plane_sweep_depth(
     num_depths: int = 64,
     cost_radius: int = 2,
     min_confidence: float = 0.15,
+    coarse_levels: int = 2,
+    refine_hyps: int = 5,
+    dist: jnp.ndarray | None = None,
 ) -> DepthMap:
-    """Plane-sweep stereo for one reference frame.
+    """Coarse-to-fine plane-sweep stereo for one reference frame.
 
     ref_img: (H, W) grayscale; nbr_imgs: (M, H, W); pose_*: world->cam
     [R|t]; depth range from the sparse map. Returns a DepthMap.
-    """
-    H, W = ref_img.shape
-    M = nbr_imgs.shape[0]
-    # Inverse-depth sampling (uniform in disparity).
-    inv = jnp.linspace(1.0 / max_depth, 1.0 / min_depth, num_depths)
-    depths = 1.0 / inv  # (D,)
 
+    The full `num_depths` sweep runs at 1/2^coarse_levels resolution
+    (4^levels fewer gather taps — the dominant TPU cost, CLAUDE.md: gather
+    cost scales with index count); each finer level refines the upsampled
+    inverse-depth map with `refine_hyps` per-pixel hypotheses at halved
+    step. Total taps ~ HW*M*(D/4^L + refine_hyps*(1/4^(L-1)+...+1)) vs
+    the flat sweep's HW*M*D — ~10x fewer at L=2, D=64 — while the final
+    inverse-depth step is 4x finer. Confidence is the coarse sweep's
+    peakedness (best-vs-mean over the FULL hypothesis range), upsampled.
+    """
+    M = nbr_imgs.shape[0]
     # Relative pose ref -> neighbor: x_n = R_rel x_r + t_rel.
     R_ref = pose_ref[:, :3]
     t_ref = pose_ref[:, 3]
@@ -105,65 +221,49 @@ def plane_sweep_depth(
     R_rel = jnp.einsum("mij,kj->mik", R_n, R_ref)  # (M, 3, 3)
     t_rel = t_n - jnp.einsum("mij,j->mi", R_rel, t_ref)  # (M, 3)
 
-    Kinv = jnp.linalg.inv(K)
-    n_vec = jnp.array([0.0, 0.0, 1.0], dtype=K.dtype)
+    # Pyramids, zero-meaned per level in each image's own frame.
+    refs = [ref_img]
+    nbrs = [nbr_imgs]
+    for _ in range(coarse_levels):
+        refs.append(_downsample2(refs[-1]))
+        nbrs.append(_downsample2(nbrs[-1]))
+    refs_zm = [r - _box_filter(r, cost_radius) for r in refs]
+    nbrs_zm = [n - _box_filter(n, cost_radius) for n in nbrs]
 
-    ys, xs = jnp.meshgrid(
-        jnp.arange(H, dtype=K.dtype), jnp.arange(W, dtype=K.dtype), indexing="ij"
+    inv_lo = 1.0 / max_depth
+    inv_hi = 1.0 / min_depth
+
+    # Coarse full sweep (uniform in inverse depth).
+    L = coarse_levels
+    offsets_c = jnp.linspace(inv_lo, inv_hi, num_depths)
+    zeros_c = jnp.zeros_like(refs_zm[L])
+    invd, best_c, mean_c, den_b = _sweep_select(
+        refs_zm[L], nbrs_zm[L], _scale_K(K, float(2 ** L)),
+        R_rel, t_rel, zeros_c, offsets_c, cost_radius, dist=dist,
     )
-    pix = jnp.stack([xs, ys, jnp.ones_like(xs)], axis=-1).reshape(-1, 3)  # (HW, 3)
+    conf = jnp.clip(
+        (mean_c - best_c) / jnp.maximum(mean_c, 1e-6), 0.0, 1.0
+    )
+    step = (inv_hi - inv_lo) / jnp.maximum(num_depths - 1, 1)
 
-    ref_mean = _box_filter(ref_img, cost_radius)
-    ref_zm = ref_img - ref_mean  # zero-mean for illumination robustness
+    # Refinement levels: upsample, re-search +-(refine_hyps//2) halved steps.
+    for lev in range(coarse_levels - 1, -1, -1):
+        Hl, Wl = refs_zm[lev].shape
+        invd = jax.image.resize(invd, (Hl, Wl), "linear")
+        conf = jax.image.resize(conf, (Hl, Wl), "linear")
+        step = step * 0.5
+        offs = (
+            jnp.arange(refine_hyps, dtype=invd.dtype)
+            - (refine_hyps - 1) / 2.0
+        ) * step
+        invd, best_c, _, den_b = _sweep_select(
+            refs_zm[lev], nbrs_zm[lev], _scale_K(K, float(2 ** lev)),
+            R_rel, t_rel, invd, offs, cost_radius, dist=dist,
+        )
 
-    def cost_at_depth(d):
-        # Plane-induced homography per neighbor, for the plane n.x_ref = d
-        # (fronto-parallel at depth d): x_n ~ K (R + t n^T / d) K^-1 x_ref.
-        Hm = jnp.einsum(
-            "ij,mjk,kl->mil",
-            K, R_rel + t_rel[:, :, None] * n_vec[None, None, :] / d, Kinv,
-        )  # (M, 3, 3)
-
-        def one_nbr(Hn, img):
-            q = pix @ Hn.T  # (HW, 3)
-            x = q[:, 0] / jnp.where(jnp.abs(q[:, 2]) < 1e-9, 1e-9, q[:, 2])
-            y = q[:, 1] / jnp.where(jnp.abs(q[:, 2]) < 1e-9, 1e-9, q[:, 2])
-            v, inside = _bilinear_sample(img, x, y)
-            return v.reshape(H, W), inside.reshape(H, W)
-
-        vals, insides = jax.vmap(one_nbr)(Hm, nbr_imgs)  # (M, H, W)
-        vals_zm = vals - _box_filter(vals, cost_radius)
-        # Photometric cost: mean absolute zero-mean difference, box-smoothed.
-        diff = jnp.abs(vals_zm - ref_zm[None])
-        diff = jnp.where(insides, diff, 1.0)
-        cost = _box_filter(diff, cost_radius)
-        weight = jnp.sum(insides.astype(cost.dtype), axis=0)
-        return jnp.sum(cost, axis=0) / jnp.maximum(weight, 1.0), weight
-
-    costs, weights = jax.lax.map(cost_at_depth, depths)  # (D, H, W)
-
-    best = jnp.argmin(costs, axis=0)  # (H, W)
-    d_axis = jnp.arange(num_depths)[:, None, None]
-    best_cost = jnp.min(costs, axis=0)
-    # Parabolic refinement over the inverse-depth axis.
-    bm1 = jnp.clip(best - 1, 0, num_depths - 1)
-    bp1 = jnp.clip(best + 1, 0, num_depths - 1)
-    c0 = jnp.take_along_axis(costs, bm1[None], axis=0)[0]
-    c1 = best_cost
-    c2 = jnp.take_along_axis(costs, bp1[None], axis=0)[0]
-    denom = c0 - 2 * c1 + c2
-    shift = jnp.where(jnp.abs(denom) < 1e-9, 0.0, 0.5 * (c0 - c2) / denom)
-    shift = jnp.clip(shift, -1.0, 1.0)
-    inv_best = inv[jnp.clip(best, 0, num_depths - 1)]
-    inv_step = (inv[-1] - inv[0]) / jnp.maximum(num_depths - 1, 1)
-    inv_refined = inv_best + shift * inv_step
-    depth = 1.0 / jnp.maximum(inv_refined, 1e-6)
-
-    # Confidence: contrast between best and mean cost (peakedness).
-    mean_cost = jnp.mean(costs, axis=0)
-    conf = jnp.clip((mean_cost - best_cost) / jnp.maximum(mean_cost, 1e-6), 0.0, 1.0)
-    wbest = jnp.take_along_axis(weights, best[None], axis=0)[0]
-    valid = (conf > min_confidence) & (wbest > 0.5)
+    invd = jnp.clip(invd, inv_lo * 0.5, inv_hi * 2.0)
+    depth = 1.0 / jnp.maximum(invd, 1e-6)
+    valid = (conf > min_confidence) & (den_b > 0.5)
     return DepthMap(depth=depth, confidence=conf, valid=valid)
 
 
@@ -173,9 +273,11 @@ def backproject_depth(
     K: jnp.ndarray,
     color_img: Optional[jnp.ndarray] = None,
     stride: int = 2,
+    dist: Optional[jnp.ndarray] = None,
 ):
     """Depth map -> world points (+BGR colors). Returns (pts (N,3), colors,
-    valid) with N = ceil(H/stride)*ceil(W/stride)."""
+    valid) with N = ceil(H/stride)*ceil(W/stride). `dist` = (k1, k2)
+    undistorts the pixel rays (depth maps live on the raw image grid)."""
     H, W = dm.depth.shape
     ys, xs = jnp.meshgrid(
         jnp.arange(0, H, stride, dtype=K.dtype),
@@ -187,6 +289,11 @@ def backproject_depth(
     Kinv = jnp.linalg.inv(K)
     pix = jnp.stack([xs, ys, jnp.ones_like(xs)], axis=-1)
     rays = pix @ Kinv.T
+    if dist is not None:
+        from sfm_mvs_tpu.ops import projection as proj
+
+        xy_u = proj.undistort_normalized(rays[..., :2], dist)
+        rays = jnp.concatenate([xy_u, jnp.ones_like(rays[..., 2:])], axis=-1)
     Xc = rays * d[..., None]
     R = pose_ref[:, :3]
     t = pose_ref[:, 3]
@@ -211,6 +318,7 @@ def geometric_consistency(
     K: jnp.ndarray,
     rel_tol: float = 0.03,
     min_consistent: int = 1,
+    dist: Optional[jnp.ndarray] = None,
 ) -> DepthMap:
     """Cross-view depth-consistency filter.
 
@@ -227,6 +335,11 @@ def geometric_consistency(
     Kinv = jnp.linalg.inv(K)
     pix = jnp.stack([xs, ys, jnp.ones_like(xs)], axis=-1)
     rays = pix @ Kinv.T
+    if dist is not None:
+        from sfm_mvs_tpu.ops import projection as proj
+
+        xy_u = proj.undistort_normalized(rays[..., :2], dist)
+        rays = jnp.concatenate([xy_u, jnp.ones_like(rays[..., 2:])], axis=-1)
     Xc = rays * dm_ref.depth[..., None]
     R = pose_ref[:, :3]
     t = pose_ref[:, 3]
@@ -237,9 +350,17 @@ def geometric_consistency(
         tn = nbr_pose[:, 3]
         Xn = Xw @ Rn.T + tn  # neighbor camera frame
         z = Xn[..., 2]
-        uv = (Xn @ K.T)
-        u = uv[..., 0] / jnp.where(jnp.abs(uv[..., 2]) < 1e-9, 1e-9, uv[..., 2])
-        v = uv[..., 1] / jnp.where(jnp.abs(uv[..., 2]) < 1e-9, 1e-9, uv[..., 2])
+        if dist is not None:
+            from sfm_mvs_tpu.ops import projection as proj
+
+            zn = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+            xy_d = proj.distort_normalized(Xn[..., :2] / zn[..., None], dist)
+            u = xy_d[..., 0] * K[0, 0] + K[0, 2]
+            v = xy_d[..., 1] * K[1, 1] + K[1, 2]
+        else:
+            uv = (Xn @ K.T)
+            u = uv[..., 0] / jnp.where(jnp.abs(uv[..., 2]) < 1e-9, 1e-9, uv[..., 2])
+            v = uv[..., 1] / jnp.where(jnp.abs(uv[..., 2]) < 1e-9, 1e-9, uv[..., 2])
         sampled, inside = _bilinear_sample(nbr_depth, u.reshape(-1), v.reshape(-1))
         sampled = sampled.reshape(H, W)
         inside = inside.reshape(H, W)
@@ -262,12 +383,12 @@ def geometric_consistency(
 @partial(jax.jit, static_argnames=("num_depths", "cost_radius"))
 def _plane_sweep_batch(
     ref_b, nbr_b, pose_b, nposes_b, K, lo_b, hi_b,
-    num_depths: int = 64, cost_radius: int = 2,
+    num_depths: int = 64, cost_radius: int = 2, dist=None,
 ):
     def one(ref, nbrs, pose, nposes, lo, hi):
         return plane_sweep_depth.__wrapped__(
             ref, nbrs, pose, nposes, K, lo, hi,
-            num_depths=num_depths, cost_radius=cost_radius,
+            num_depths=num_depths, cost_radius=cost_radius, dist=dist,
         )
 
     return jax.vmap(one)(ref_b, nbr_b, pose_b, nposes_b, lo_b, hi_b)
@@ -305,6 +426,7 @@ def densify_map(
     batch: int = 4,
     mesh=None,
     return_depth_maps: bool = False,
+    dist: Optional[jnp.ndarray] = None,
 ):
     """Plane-sweep every frame, cross-check depths, fuse a colored cloud.
 
@@ -369,7 +491,7 @@ def densify_map(
             lo_b, hi_b = shard(lo_b), shard(hi_b)
         dms = _plane_sweep_batch(
             ref_b, nbr_b, pose_b, nposes_b, K, lo_b, hi_b,
-            num_depths=num_depths,
+            num_depths=num_depths, dist=dist,
         )
         for j, r in enumerate(chunk):
             depth_maps[r] = jax.tree_util.tree_map(lambda a: a[j], dms)
@@ -388,13 +510,16 @@ def densify_map(
                 jnp.stack([state.poses[i] for i in nbrs]),
                 K,
                 rel_tol=geo_rel_tol,
+                dist=dist,
             )
         filtered[r] = dm
         color = (
             jnp.asarray(images_bgr[r]) if images_bgr is not None
             else jnp.asarray(images_gray[r])
         )
-        Xw, cols, valid = backproject_depth(dm, pose_r, K, color, stride=stride)
+        Xw, cols, valid = backproject_depth(
+            dm, pose_r, K, color, stride=stride, dist=dist
+        )
         v = np.asarray(valid)
         all_pts.append(np.asarray(Xw)[v])
         all_cols.append(np.asarray(cols)[v])

@@ -139,6 +139,7 @@ def refine_pose_gauss_newton(
     K: jnp.ndarray,
     iters: int = 10,
     damping: float = 1e-6,
+    dist: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Damped Gauss-Newton polish of a pose on masked reprojection error.
 
@@ -146,7 +147,9 @@ def refine_pose_gauss_newton(
     Fixed iteration count (jit-friendly); each step solves the 6x6 normal
     equations built from the analytic (AD) Jacobian. A step is rejected
     (identity update) if it increases the masked SSE — a 1-step
-    trust-region in the spirit of LM.
+    trust-region in the spirit of LM. With `dist` = (k1, k2), residuals
+    use the DISTORTED projection against raw observations — matching
+    cv2.solvePnPRansac's handling of distortion coefficients (sfm.py:67).
     """
     rvec0, tvec0 = lie.matrix_to_rt(Rt)
     m = mask.astype(Rt.dtype)
@@ -154,7 +157,7 @@ def refine_pose_gauss_newton(
     def residuals(params):
         rvec, tvec = params[:3], params[3:]
         pose = lie.rt_to_matrix(rvec, tvec)
-        res = projection.reprojection_residuals(X, uv_pix, pose, K)
+        res = projection.project(X, pose, K, dist=dist) - uv_pix
         return (res * m[:, None]).reshape(-1)
 
     def sse(params):
@@ -179,8 +182,16 @@ def refine_pose_gauss_newton(
 
 
 def pnp_residual_pixels(
-    Rt: jnp.ndarray, X: jnp.ndarray, uv_pix: jnp.ndarray, K: jnp.ndarray
+    Rt: jnp.ndarray,
+    X: jnp.ndarray,
+    uv_pix: jnp.ndarray,
+    K: jnp.ndarray,
+    dist: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """Per-point reprojection distance in pixels (N,). RANSAC residual."""
-    res = projection.reprojection_residuals(X, uv_pix, Rt, K)
+    """Per-point reprojection distance in pixels (N,). RANSAC residual.
+
+    With `dist` = (k1, k2), projection is distorted to match raw
+    (uncorrected) observations, like cv2.solvePnPRansac (sfm.py:67).
+    """
+    res = projection.project(X, Rt, K, dist=dist) - uv_pix
     return jnp.linalg.norm(res, axis=-1)

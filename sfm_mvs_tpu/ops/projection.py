@@ -30,15 +30,76 @@ def compose_projection(K: jnp.ndarray, Rt: jnp.ndarray) -> jnp.ndarray:
     return K @ Rt
 
 
-def project(points: jnp.ndarray, Rt: jnp.ndarray, K: jnp.ndarray) -> jnp.ndarray:
+def distort_normalized(xy: jnp.ndarray, dist: jnp.ndarray) -> jnp.ndarray:
+    """Apply radial distortion in normalized camera coords.
+
+    xy: (..., 2) ideal normalized coords; dist: (2,) = (k1, k2) — the
+    radial model the reference threads through cv2.solvePnPRansac /
+    projectPoints (sfm.py:67,88) and the notebook's 9-param camera
+    (rvec, t, f, k1, k2). x_d = x * (1 + k1 r^2 + k2 r^4).
+    """
+    r2 = jnp.sum(xy * xy, axis=-1, keepdims=True)
+    return xy * (1.0 + dist[0] * r2 + dist[1] * r2 * r2)
+
+
+def undistort_normalized(
+    xy_d: jnp.ndarray, dist: jnp.ndarray, iters: int = 5
+) -> jnp.ndarray:
+    """Invert :func:`distort_normalized` by fixed-point iteration.
+
+    Standard cv2.undistortPoints scheme: x <- x_d / (1 + k1 r^2(x) + k2
+    r^4(x)), converges in a handful of iterations for |k r^2| << 1.
+    """
+    xy = xy_d
+    for _ in range(iters):
+        r2 = jnp.sum(xy * xy, axis=-1, keepdims=True)
+        f = 1.0 + dist[0] * r2 + dist[1] * r2 * r2
+        xy = xy_d / jnp.where(jnp.abs(f) < _EPS, _EPS, f)
+    return xy
+
+
+def undistort_pixels(
+    pts: jnp.ndarray, K: jnp.ndarray, dist: jnp.ndarray, iters: int = 5
+) -> jnp.ndarray:
+    """Observed (distorted) pixels -> ideal pinhole pixels.
+
+    Front-door correction: applied once to detected keypoints, it makes
+    every downstream stage (E-RANSAC, triangulation, PnP, BA, MVS rays)
+    consistent with the pure pinhole model — the same factorization as
+    undistorting the images, at keypoint rather than pixel cost.
+    """
+    xn = normalize_points(pts, K)
+    xu = undistort_normalized(xn, dist, iters=iters)
+    fx, fy = K[0, 0], K[1, 1]
+    cx, cy = K[0, 2], K[1, 2]
+    return jnp.stack(
+        [xu[..., 0] * fx + cx, xu[..., 1] * fy + cy], axis=-1
+    )
+
+
+def project(
+    points: jnp.ndarray,
+    Rt: jnp.ndarray,
+    K: jnp.ndarray,
+    dist: jnp.ndarray | None = None,
+) -> jnp.ndarray:
     """Project world points into pixel coordinates.
 
-    points: (N, 3); Rt: (3, 4); K: (3, 3). Returns (N, 2).
-    Equivalent to cv2.projectPoints with zero distortion (sfm.py:88).
+    points: (N, 3); Rt: (3, 4); K: (3, 3); dist: optional (2,) = (k1, k2)
+    radial coefficients. Equivalent to cv2.projectPoints (sfm.py:88) —
+    with zero distortion when dist is None.
     """
     Xc = points @ Rt[:3, :3].T + Rt[:3, 3]
-    uv = Xc @ K.T
-    return from_homogeneous(uv)
+    if dist is None:
+        return from_homogeneous(Xc @ K.T)
+    z = Xc[..., 2:]
+    xy = Xc[..., :2] / jnp.where(jnp.abs(z) < _EPS, _EPS, z)
+    xd = distort_normalized(xy, dist)
+    fx, fy = K[0, 0], K[1, 1]
+    cx, cy = K[0, 2], K[1, 2]
+    return jnp.stack(
+        [xd[..., 0] * fx + cx, xd[..., 1] * fy + cy], axis=-1
+    )
 
 
 def project_depth(points: jnp.ndarray, Rt: jnp.ndarray, K: jnp.ndarray):

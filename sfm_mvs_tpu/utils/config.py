@@ -82,6 +82,11 @@ class RansacConfig:
     # the 6-point DLT + planar solvers: all-inlier sample odds are w^3 vs
     # w^6, which dominates on contaminated 2D-3D correspondence sets.
     pnp_use_p3p: bool = True
+    # Loop-closure / stitch verification: a pair's epipolar E-RANSAC must
+    # keep at least this many inliers before its matches are trusted
+    # (guards against spurious far pairs with degenerate E). Hoisted here
+    # so the driver and benchmarks can't drift apart (advisor r3).
+    stitch_min_inliers: int = 16
     # Degenerate-frame guard (the domain's failure detection, SURVEY.md §5;
     # the germ exists in the reference at test.py:254-255 "Less features!").
     # A frame whose PnP lands below this many inliers is REJECTED: the map
@@ -172,6 +177,12 @@ class MapConfig:
     # Observations are a dense (max_points, max_cameras) grid (one slot per
     # point-camera pair), so obs capacity is implied by the two above.
 
+    # Loose sanity gate (px) for epipolar-verified stitch injections: on a
+    # drifted map the strict map-agreement gate rejects exactly the
+    # drift-revealing matches, so stitching uses pair-local E-RANSAC plus
+    # this bound. Hoisted from hard-coded 64.0 px (advisor r3).
+    stitch_gate_px: float = 64.0
+
 
 @dataclasses.dataclass(frozen=True)
 class SfmConfig:
@@ -183,6 +194,13 @@ class SfmConfig:
     cx: float = 932.3821770809047
     cy: float = 628.2649953288065
     skew: float = 0.0
+    # Radial distortion (k1, k2) — the reference threads these through
+    # cv2.solvePnPRansac/projectPoints (sfm.py:67,88; the notebook's
+    # camera model is (rvec, t, f, k1, k2)). Nonzero values undistort
+    # detected keypoints at the front door (projection.undistort_pixels),
+    # making every downstream stage pinhole-consistent.
+    k1: float = 0.0
+    k2: float = 0.0
     downscale: int = 2  # powers of two, divides K (sfm.py:19-23)
 
     image_dir: str = ""

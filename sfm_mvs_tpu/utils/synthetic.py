@@ -174,6 +174,7 @@ def render_staircase_sequence(
     seed: int = 0,
     return_depth: bool = False,
     texture: "np.ndarray | None" = None,
+    dist: "tuple[float, float]" = (0.0, 0.0),
 ):
     """Render vertical textured strips at staggered depths (a "staircase").
 
@@ -212,6 +213,19 @@ def render_staircase_sequence(
     Kinv = np.linalg.inv(K)
     u, v = np.meshgrid(np.arange(W, dtype=np.float64), np.arange(H, dtype=np.float64))
     pix = np.stack([u, v, np.ones_like(u)], axis=-1)
+    if dist[0] != 0.0 or dist[1] != 0.0:
+        # Output pixels are coordinates in the DISTORTED image: invert the
+        # radial model x_d = x (1 + k1 r^2 + k2 r^4) by fixed point to get
+        # the ideal ray each distorted pixel observes (matches
+        # projection.undistort_normalized).
+        xy_d = (pix @ Kinv.T)[..., :2]
+        xy = xy_d.copy()
+        for _ in range(8):
+            r2 = np.sum(xy * xy, axis=-1, keepdims=True)
+            f = 1.0 + dist[0] * r2 + dist[1] * r2 * r2
+            xy = xy_d / np.maximum(np.abs(f), 1e-12) * np.sign(f)
+        pix = np.concatenate([xy, np.ones_like(xy[..., :1])], axis=-1)
+        Kinv = np.eye(3)  # pix already holds normalized ideal rays
     for a in angles:
         eye = np.array([radius * np.sin(a), -0.4 * np.sin(2 * a), -radius * np.cos(a)])
         Rt = look_at(eye, np.zeros(3))

@@ -140,11 +140,14 @@ def test_densify_sharded_matches_single(scene):
         imgs, state, num_depths=48, stride=4, mesh=mesh
     )
     pts_1, _ = mvs.densify_map(imgs, state, num_depths=48, stride=4)
-    assert pts_sh.shape == pts_1.shape
-    # Different compilations (sharded vs not) may flip argmin ties on a
-    # handful of pixels; require near-total agreement, not bitwise.
-    close = (np.abs(pts_sh - pts_1).max(axis=1) < 1e-3)
-    assert close.mean() > 0.98
+    # Different compilations (sharded vs not) may flip argmin/confidence
+    # ties on a handful of pixels — the valid-pixel COUNT can differ by a
+    # few; require near-total set agreement, not bitwise equality.
+    assert abs(len(pts_sh) - len(pts_1)) <= max(5, len(pts_1) // 100)
+    key_sh = {tuple(np.round(p, 3)) for p in pts_sh}
+    key_1 = {tuple(np.round(p, 3)) for p in pts_1}
+    overlap = len(key_sh & key_1) / max(len(key_1), 1)
+    assert overlap > 0.98
 
 
 def test_geometric_consistency_removes_leaks(scene):
