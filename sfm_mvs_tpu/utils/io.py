@@ -109,14 +109,25 @@ def read_ply(path: str):
     with open(path) as f:
         props = []
         n = 0
+        in_vertex = False
         for line in f:
             tok = line.split()
-            if tok[:2] == ["element", "vertex"]:
-                n = int(tok[2])
-            elif tok[:1] == ["property"]:
+            if tok[:1] == ["element"]:
+                # Only the vertex element's SCALAR properties are columns;
+                # 'property list ...' (face indices etc., standard in
+                # external PLYs) is variable-length, not a column
+                # (advisor r3).
+                in_vertex = tok[1:2] == ["vertex"]
+                if in_vertex:
+                    n = int(tok[2])
+            elif tok[:2] == ["property", "list"]:
+                continue
+            elif tok[:1] == ["property"] and in_vertex:
                 props.append(tok[2])
             elif tok[:1] == ["end_header"]:
                 break
+        if n == 0 or not props:
+            return np.zeros((0, 3), np.float32), None
         data = np.loadtxt(f, dtype=np.float64, max_rows=n)
     data = data.reshape(n, len(props))
     idx = {p: i for i, p in enumerate(props)}

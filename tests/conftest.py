@@ -21,6 +21,14 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: long end-to-end/pipeline tests (second tier; "
+        "run `pytest -m 'not slow'` for the fast tier, see README)",
+    )
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

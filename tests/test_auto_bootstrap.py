@@ -8,6 +8,8 @@ The reference's isfm.py computes all-pairs inlier counts and discards them
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from sfm_mvs_tpu.models import exhaustive
 from sfm_mvs_tpu.models.incremental import IncrementalSfM
 from sfm_mvs_tpu.utils import evaluate

@@ -1,3 +1,5 @@
+import pytest
+pytestmark = pytest.mark.slow
 """Sparse-Schur LM bundle adjustment: convergence, gauge, masking."""
 
 import numpy as np

@@ -9,6 +9,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from sfm_mvs_tpu.models import ba, map_store
 from sfm_mvs_tpu.ops import lie
 from sfm_mvs_tpu.utils.config import MapConfig

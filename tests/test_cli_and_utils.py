@@ -23,6 +23,7 @@ def image_dir(tmp_path_factory):
     return str(d), Rt, K
 
 
+@pytest.mark.slow
 def test_cli_end_to_end(tmp_path, image_dir):
     d, Rt, K = image_dir
     from sfm_mvs_tpu import cli

@@ -6,6 +6,8 @@ import dataclasses
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from sfm_mvs_tpu.models import densify, map_store
 from sfm_mvs_tpu.models.incremental import IncrementalSfM
 from sfm_mvs_tpu.utils import evaluate

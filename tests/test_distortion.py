@@ -11,6 +11,8 @@ distorted images, and end-to-end pose recovery on a distorted render.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax.numpy as jnp
 
 from sfm_mvs_tpu.ops import lie, pnp, projection

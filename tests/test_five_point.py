@@ -10,6 +10,8 @@ and a cv2 oracle cross-check on the recovered pose.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 

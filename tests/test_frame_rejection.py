@@ -1,3 +1,5 @@
+import pytest
+pytestmark = pytest.mark.slow
 """Degenerate-frame guard: bad frames must not corrupt the map."""
 
 import numpy as np

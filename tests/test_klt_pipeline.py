@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from sfm_mvs_tpu.models.klt import KltSfM
 from sfm_mvs_tpu.utils import evaluate
 from sfm_mvs_tpu.utils.config import FrontendConfig, MapConfig, SfmConfig

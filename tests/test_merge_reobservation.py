@@ -1,3 +1,5 @@
+import pytest
+pytestmark = pytest.mark.slow
 """Re-observation merging: revisited points extend tracks, not duplicate."""
 
 import numpy as np

@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax.numpy as jnp
 
 from sfm_mvs_tpu.models import map_store, mvs
@@ -79,7 +81,11 @@ def test_densify_map(scene):
         jnp.asarray(ok),
     )
     pts, cols = mvs.densify_map(imgs, state, num_depths=64, stride=4)
-    assert len(pts) > 2000
+    # Round 4 tightened fusion (rel_tol 0.015, >=2 agreeing neighbors
+    # where available): on this 3-frame toy both neighbors must agree,
+    # so the surviving count drops vs the leakier round-3 gates — the
+    # cloud is smaller but measurably cleaner (see z-range check below).
+    assert len(pts) > 600
     # Strips live at z in [-2, 2]; default geometric_check removes most
     # photometric leaks (see test_geometric_consistency_removes_leaks).
     assert (np.abs(pts[:, 2]) < 3.0).mean() > 0.9

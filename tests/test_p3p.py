@@ -45,6 +45,7 @@ def test_recovers_exact_pose(seed):
     assert _best_pose_error(Rts, valid, R, t) < 1e-2, seed
 
 
+@pytest.mark.slow
 def test_vmapped_batch():
     rng = np.random.default_rng(42)
     Xs, uvs, poses = [], [], []

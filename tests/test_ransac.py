@@ -1,3 +1,4 @@
+import pytest
 """Vectorized RANSAC: outlier rejection on synthetic correspondences."""
 
 import numpy as np
@@ -54,6 +55,7 @@ def test_ransac_essential_with_outliers(rng):
     assert np.abs(np.asarray(t) - t_rel).max() < 5e-3
 
 
+@pytest.mark.slow
 def test_ransac_pnp_with_outliers(rng):
     scene = make_scene(num_points=512, num_cameras=2, seed=2)
     uv, _ = scene.project(1)
@@ -104,6 +106,7 @@ def test_ransac_respects_input_mask(rng):
     assert not np.asarray(res.inliers)[200:].any()
 
 
+@pytest.mark.slow
 def test_ransac_essential_5pt_all_hypotheses_invalid():
     """When every 5pt hypothesis fails the solver's residual gate (fully
     degenerate correspondences), the result must report ZERO inliers and a
@@ -124,6 +127,7 @@ def test_ransac_essential_5pt_all_hypotheses_invalid():
         assert not np.asarray(res.inliers).any()
 
 
+@pytest.mark.slow
 def test_ransac_pnp_p3p_heavy_outliers(rng):
     """75% outliers with few iters: the P3P family (w^3 sample odds) must
     still land the pose where 6-point samples (w^6 ~ 2e-4) rarely can."""

@@ -7,6 +7,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from sfm_mvs_tpu.ops import projection, ransac
 from sfm_mvs_tpu.ops.epipolar import recover_pose
 from sfm_mvs_tpu.utils.synthetic import make_scene

@@ -20,9 +20,12 @@ from sfm_mvs_tpu.utils.config import FrontendConfig
 
 _IMG = "/root/reference/image.jpg"
 
-pytestmark = pytest.mark.skipif(
-    not os.path.exists(_IMG), reason="reference image not available"
-)
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        not os.path.exists(_IMG), reason="reference image not available"
+    ),
+]
 
 CFG = FrontendConfig(
     max_features=2048, num_octaves=4, upsample_input=True,

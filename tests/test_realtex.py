@@ -21,9 +21,12 @@ from sfm_mvs_tpu.utils.synthetic import load_image_texture, render_staircase_seq
 
 REF_IMAGE = "/root/reference/image.jpg"
 
-pytestmark = pytest.mark.skipif(
-    not os.path.exists(REF_IMAGE), reason="reference image not present"
-)
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        not os.path.exists(REF_IMAGE), reason="reference image not present"
+    ),
+]
 
 
 @pytest.fixture(scope="module")
@@ -66,6 +69,43 @@ def test_two_view_on_real_texture(realtex_frames):
     est = np.stack([np.asarray(tv.pose0), np.asarray(tv.pose1)])
     rot = evaluate.rotation_errors_deg(est, Rt_gt[[0, 2]])
     assert rot.max() < 1.0, f"rotation error {rot.max():.3f} deg on real texture"
+
+
+def test_pipeline_survives_photometric_nuisances(realtex_frames):
+    """Exposure drift + sensor noise + blur, all at once (the round-4
+    nuisance grid of benchmarks/quality_realtex.py), must not break the
+    PIPELINE on real texture: all frames register, ATE < 1% of scene
+    scale, rotations < 1.5 deg.
+
+    Pipeline-level deliberately: an ISOLATED small-baseline two-view
+    bootstrap under 0.8 px blur is genuinely seed-fragile (the widened
+    localization noise lets a wrong essential matrix collect as many
+    2 px inliers as the true one — measured 13.9 deg on pair (0,2) for
+    3/5 seeds), but the incremental loop's PnP-against-the-map + per
+    -frame refit absorbs it (measured: combined nuisance gives ATE
+    0.13%, rot 0.36 deg on the 5-frame run)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from benchmarks.quality_realtex import apply_nuisance
+    from sfm_mvs_tpu.models.incremental import IncrementalSfM
+    from sfm_mvs_tpu.utils import evaluate
+
+    imgs, Rt_gt, K = realtex_frames
+    spec = {"gain_lo": 0.75, "gain_hi": 1.25, "sigma": 0.015, "sigma_px": 0.8}
+    imgs_n = apply_nuisance(list(imgs), spec)
+    sfm = IncrementalSfM(_cfg())
+    state = sfm.run(imgs_n)
+    pv = np.asarray(state.cam_valid)
+    assert int(pv.sum()) == len(imgs_n)
+    poses = np.asarray(state.poses)[pv]
+    scene_scale = float(
+        np.linalg.norm(evaluate.camera_centers(Rt_gt), axis=1).mean()
+    )
+    ate = float(evaluate.ate_rmse(poses, Rt_gt)) / scene_scale
+    rot = evaluate.rotation_errors_deg(poses, Rt_gt)
+    assert ate < 0.01, f"ATE {ate:.4f} of scene scale under nuisances"
+    assert rot.max() < 1.5, f"rotation {rot.max():.3f} deg under nuisances"
 
 
 def test_match_yield_vs_cv2_on_real_texture(realtex_frames):

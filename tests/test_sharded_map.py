@@ -1,3 +1,5 @@
+import pytest
+pytestmark = pytest.mark.slow
 """Sharded map-store queries == their replicated single-device forms."""
 
 import numpy as np

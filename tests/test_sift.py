@@ -21,6 +21,7 @@ def _blob_image(H=128, W=160, cx=80.5, cy=60.5, sigma=3.0):
     return img.astype(np.float32)
 
 
+@pytest.mark.slow
 def test_detects_single_blob_at_location():
     img = _blob_image()
     f = sift.detect_and_compute(jnp.asarray(img), CFG)
@@ -36,6 +37,7 @@ def test_detects_single_blob_at_location():
     assert 1.5 < s < 6.5
 
 
+@pytest.mark.slow
 def test_descriptor_norm_and_validity():
     imgs, _, _ = render_staircase_sequence(num_cameras=1)
     f = sift.detect_and_compute(jnp.asarray(imgs[0]), CFG)
@@ -68,6 +70,7 @@ def test_repeatability_across_views():
     assert n_match > 0.25 * n_kp  # decent cross-view match rate
 
 
+@pytest.mark.slow
 def test_end_to_end_pose_from_rendered_views():
     """detect -> match -> E-RANSAC -> recoverPose reproduces ground truth."""
     imgs, Rt, K = render_staircase_sequence(num_cameras=2, arc_degrees=10)

@@ -9,6 +9,8 @@ injection is a projection + scatter that re-runs after each BA round.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 

@@ -1,3 +1,5 @@
+import pytest
+pytestmark = pytest.mark.slow
 """Track-based global SfM (test.py analog) + exhaustive view graph (isfm)."""
 
 import numpy as np
