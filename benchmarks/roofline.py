@@ -28,9 +28,11 @@ import numpy as np
 
 ART = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "artifacts")
 
-# Measured element-gather speed of light on this v5e (CLAUDE.md: 8 ms per
-# 1M nearest taps, 29 ms per 1M 4-corner bilinear samples).
-GATHER_NEAREST_PER_S = 125e6
+# Element-gather speed of light: calibrated by a dedicated microbench at
+# the top of main() (the round-2 CLAUDE.md figures — 8 ms / 1M nearest
+# taps — carried dispatch overhead; the first chained roofline run
+# measured a real kernel ABOVE that "ceiling" at 279M taps/s).
+GATHER_NEAREST_PER_S = 125e6  # replaced by calibration at runtime
 GATHER_BILINEAR_PER_S = 34.5e6
 
 
@@ -52,7 +54,8 @@ def timeit(fn, arglists, reps=10):
         leaves = [l for l in jax.tree_util.tree_leaves(out) if hasattr(l, "dtype")]
         s = jnp.float32(0.0)
         for l in leaves[:3]:
-            s = s + jnp.sum(l[..., :1].astype(jnp.float32))
+            la = jnp.atleast_1d(l)
+            s = s + jnp.sum(la[..., :1].astype(jnp.float32))
         return s * 1e-12
 
     carry = step(jnp.float32(0.0), arglists[0])
@@ -80,6 +83,43 @@ def main():
     peak = PEAKS["v5e"]
     rows = []
 
+    # --- Calibrate the gather ceiling: pure element gathers, chained. ---
+    global GATHER_NEAREST_PER_S, GATHER_BILINEAR_PER_S
+    rngc = np.random.default_rng(7)
+    src = jnp.asarray(rngc.standard_normal(1 << 20), jnp.float32)
+    idx = jnp.asarray(rngc.integers(0, 1 << 20, 4 << 20), jnp.int32)
+    xy = jnp.asarray(rngc.uniform(1, 1022, (4 << 20, 2)), jnp.float32)
+    img2d = jnp.asarray(rngc.standard_normal((1024, 1024)), jnp.float32)
+
+    def pure_gather(s, ix):
+        return jnp.sum(s[ix])
+
+    def pure_bilinear(im, p):
+        x, y = p[:, 0], p[:, 1]
+        x0 = jnp.floor(x).astype(jnp.int32)
+        y0 = jnp.floor(y).astype(jnp.int32)
+        fx, fy = x - x0, y - y0
+        fl = im.reshape(-1)
+        at = lambda yy, xx: fl[yy * 1024 + xx]
+        v = (at(y0, x0) * (1 - fy) * (1 - fx) + at(y0, x0 + 1) * (1 - fy) * fx
+             + at(y0 + 1, x0) * fy * (1 - fx) + at(y0 + 1, x0 + 1) * fy * fx)
+        return jnp.sum(v)
+
+    t_n = timeit(pure_gather, [(src + 1e-6 * i, idx) for i in range(4)])
+    t_b = timeit(pure_bilinear, [(img2d + 1e-6 * i, xy) for i in range(4)])
+    GATHER_NEAREST_PER_S = (4 << 20) / t_n
+    GATHER_BILINEAR_PER_S = (4 << 20) / t_b
+    rows.append({
+        "kernel": "calibration_gather_ceiling",
+        "nearest_taps_per_s_M": round(GATHER_NEAREST_PER_S / 1e6, 1),
+        "bilinear_samples_per_s_M": round(GATHER_BILINEAR_PER_S / 1e6, 1),
+        "note": ("4M random element gathers from a 4MB (VMEM-resident) "
+                 "table, chained — a strict SMALL-TABLE upper bound; "
+                 "large-table gathers (the SfM kernels' regime) "
+                 "empirically run ~2 orders of magnitude below it"),
+    })
+    print(json.dumps(rows[-1]), file=sys.stderr)
+
     def add(name, seconds, flops=0.0, bytes_=0.0, gathers=0.0,
             gather_kind="nearest", note=""):
         row = {"kernel": name, "ms": round(seconds * 1e3, 3)}
@@ -95,9 +135,15 @@ def main():
         if gathers:
             sol = (GATHER_NEAREST_PER_S if gather_kind == "nearest"
                    else GATHER_BILINEAR_PER_S)
+            # Two references: the calibrated SMALL-TABLE ceiling (table
+            # fits VMEM — a strict upper bound, measured 60G+ taps/s) and
+            # the empirical LARGE-TABLE rate real SfM kernels see (r2
+            # measurements: ~125M nearest / ~34.5M bilinear samples/s).
+            emp = 125e6 if gather_kind == "nearest" else 34.5e6
             rate = gathers / seconds
-            row["achieved_gather_samples_per_s"] = round(rate / 1e6, 1)
-            fracs["gather_sol"] = rate / sol
+            row["achieved_gather_samples_per_s_M"] = round(rate / 1e6, 1)
+            fracs["gather_small_table_ceiling"] = rate / sol
+            fracs["gather_empirical_large_table"] = rate / emp
         if fracs:
             bind = max(fracs, key=fracs.get)
             row["binding_axis"] = bind
@@ -245,10 +291,10 @@ def main():
 
     def lm8(p):
         out, stats = ba.run_ba(p, max_iterations=8, cg_iters=CGI)
-        return stats.final_cost
+        return jnp.reshape(stats.final_cost, (1,))
 
     t8 = timeit(lm8, [(jax.tree_util.tree_map(
-        lambda a: a + (1e-6 * i if a.dtype == jnp.float32 else 0), prob),)
+        lambda a: a + 1e-6 * i if a.dtype == jnp.float32 else a, prob),)
         for i in range(4)], reps=6)
     t_iter = t8 / 8
     P_, C_ = 16384, 64
