@@ -40,6 +40,10 @@ MAX_POINTS = int(os.environ.get("LARGE_MAX_POINTS", "131072"))
 SEGMENT = 25  # frames per timing/stitch segment
 BATCH = 32  # stitch pairs per dispatch
 STITCH_ITERS = int(os.environ.get("LARGE_STITCH_ITERS", "512"))
+# Finalize runs on a compacted grid of this STATIC capacity so its BA /
+# apply programs can be compiled during warmup (live points at 250
+# frames are ~6k; a data-dependent capacity would defeat prewarming).
+COMPACT_CAP = int(os.environ.get("LARGE_COMPACT_CAP", "8192"))
 
 
 def chunk_pairs(pairs, batch):
@@ -119,8 +123,12 @@ def main():
     wp = min(16_384, MAX_POINTS)
 
     def window_ba(state):
+        # 24 active cams + 8 frozen ANCHOR cams: observations in the
+        # frozen band keep long tracks constraining the window (r3's
+        # (24, 2) window dropped out-of-window track constraints —
+        # VERDICT weak-5; see ba.bundle_adjust_window docstring).
         state, _ = ba.bundle_adjust_window(
-            state, window_cams=24, window_points=wp,
+            state, window_cams=32, window_points=wp, freeze_cams=8,
             max_iterations=6, cg_iters=12,
         )
         return state
@@ -149,8 +157,27 @@ def main():
         jnp.asarray(cfg.map.stitch_gate_px),
     )
     _ = exhaustive.covisibility_matrix(pstate.map)
-    _ = ba.bundle_adjust_map(pstate.map, max_iterations=2, cg_iters=5,
-                             huber_delta=3.0)
+    # Prewarm the finalize programs at the STATIC compacted capacity
+    # (compact+shrink -> COMPACT_CAP): robust BA, candidate re-apply,
+    # and the finalize_map polish — finalize then runs with warm
+    # compiles only (round-3 style finalize paid multi-minute remote
+    # compiles inside its measured wall).
+    from sfm_mvs_tpu.models.refine import finalize_map
+    from sfm_mvs_tpu.utils.config import MapConfig as _MC
+
+    dummy = map_store.init_map(
+        Kj, _MC(max_cameras=MAX_CAMS, max_points=COMPACT_CAP)
+    )
+    dummy, _ = map_store.append_camera(dummy, jnp.eye(3, 4))
+    dummy, _ = map_store.append_camera(dummy, jnp.eye(3, 4))
+    _ = ba.bundle_adjust_map(
+        dummy, max_iterations=40, cg_iters=30, huber_delta=3.0
+    )
+    _ = exhaustive.apply_stitch_batch(
+        dummy, cand_w.cam_a, cand_w.tids_a, cand_w.uv_a,
+        jnp.zeros_like(cand_w.ok), jnp.asarray(cfg.map.stitch_gate_px),
+    )
+    _d, _info = finalize_map(dummy, max_iterations=15)
     jax.block_until_ready(pstate.map.points)
     print(f"compile+bootstrap {time.time()-t0:.1f}s", file=sys.stderr)
 
@@ -231,15 +258,33 @@ def main():
     jax.block_until_ready(pstate.map.points)
     reg_wall = time.time() - t0
 
-    # ---- Finalize: robust BA <-> cheap candidate re-apply, then polish.
-    from sfm_mvs_tpu.models.refine import finalize_map
-
+    # ---- Finalize: compact to the prewarmed static capacity, then
+    # robust BA <-> cheap candidate re-apply, then polish. All programs
+    # compiled during warmup (static COMPACT_CAP).
     t_fin = time.time()
-    state = pstate.map
-    reapply_counts = []
-    for rnd, iters in enumerate((40, 25)):
+    state, remap = map_store.compact_points(pstate.map)
+    live = int(state.num_points)
+    cap = COMPACT_CAP
+    while cap < int(1.1 * live):  # safety; breaks prewarming if hit
+        cap *= 2
+    state = map_store.shrink_map(state, cap)
+
+    # Compaction renumbers points: remap the cached candidates' tids.
+    P_old = MAX_POINTS
+
+    def remap_tids(t):
+        safe = jnp.clip(t, 0, P_old - 1)
+        return jnp.where(t >= 0, remap[safe], -1)
+
+    cand_cache = [
+        c._replace(tids_a=remap_tids(c.tids_a), tids_b=remap_tids(c.tids_b))
+        for c in cand_cache
+    ]
+
+    robust_costs = []
+    for rnd in range(2):
         state, stats = ba.bundle_adjust_map(
-            state, max_iterations=iters, cg_iters=30, huber_delta=3.0,
+            state, max_iterations=40, cg_iters=30, huber_delta=3.0,
         )
         # Re-apply cached candidates on the straightened geometry: the
         # loose gate admits matches the pre-BA bend pushed outside it.
@@ -251,18 +296,9 @@ def main():
                 state, cand.cam_b, cand.tids_b, cand.uv_b, cand.ok, gate
             )
             inj_dev.append(ca.sum() + cb.sum())
-        reapply_counts.append(float(stats.final_cost))
-    state, _ = ba.bundle_adjust_map(
-        state, max_iterations=25, cg_iters=30, huber_delta=3.0,
-    )
+        robust_costs.append(float(stats.final_cost))
     n_injected = int(np.asarray(jnp.stack(inj_dev)).sum()) if inj_dev else 0
 
-    state, _ = map_store.compact_points(state)
-    live = int(state.num_points)
-    cap = 1024
-    while cap < int(1.25 * live):
-        cap *= 2
-    state = map_store.shrink_map(state, cap)
     state, fin = finalize_map(state, max_iterations=15)
     fin_wall = time.time() - t_fin
     total_wall = reg_wall + fin_wall
@@ -305,7 +341,7 @@ def main():
             "pairs_matched": n_pairs_total,
             "injected_obs_total": n_injected,
             "essential_iters": STITCH_ITERS,
-            "robust_ba_costs": reapply_counts,
+            "robust_ba_costs": robust_costs,
         },
         "finalize": fin,
         "cost_model": (
