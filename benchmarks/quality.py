@@ -25,6 +25,11 @@ SCENARIOS = [
     {"name": "shallow_relief", "arc": 20, "spread": 0.8, "size": (320, 240), "frames": 5},
     {"name": "high_res", "arc": 24, "spread": 2.0, "size": (640, 480), "frames": 5},
     {"name": "long_arc", "arc": 60, "spread": 2.0, "size": (320, 240), "frames": 8},
+    # Radial distortion scenario (round 4): frames rendered with
+    # (k1, k2) = (-0.18, 0.03); cfg carries the SAME coefficients, so the
+    # front-door undistortion must hold the clean-scenario bounds.
+    {"name": "distorted_k1k2", "arc": 24, "spread": 2.0, "size": (320, 240),
+     "frames": 5, "dist": (-0.18, 0.03)},
 ]
 
 
@@ -47,14 +52,17 @@ def main():
     for sc in SCENARIOS:
         W, H = sc["size"]
         focal = 400.0 * W / 320.0
+        dist = sc.get("dist", (0.0, 0.0))
         imgs, Rt_gt, K = render_staircase_sequence(
             num_cameras=sc["frames"], arc_degrees=sc["arc"],
             depth_spread=sc["spread"], image_size=sc["size"], focal=focal,
+            dist=dist,
         )
         from sfm_mvs_tpu.utils.config import RansacConfig
 
         cfg = SfmConfig(
             fx=focal, fy=focal, cx=W / 2, cy=H / 2, downscale=1,
+            k1=dist[0], k2=dist[1],
             frontend=FrontendConfig(
                 max_features=1024, num_octaves=3, upsample_input=True,
                 contrast_threshold=0.015, lowe_ratio=0.75,

@@ -232,7 +232,7 @@ def main():
             registered = int(pv.sum())
             row["registered"] = f"{registered}/5"
             row["matches_per_pair"] = round(
-                float(np.mean([s["num_matches"] for s in sfm.stats])), 1
+                float(np.mean([s["matches"] for s in sfm.stats])), 1
             )
             if registered == 5:
                 poses = np.asarray(state.poses)[pv]

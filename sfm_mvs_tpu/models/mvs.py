@@ -221,6 +221,7 @@ def _sweep_select(
 
 @partial(jax.jit, static_argnames=(
     "num_depths", "cost_radius", "coarse_levels", "refine_hyps",
+    "refine_hyps_final", "escape_final",
 ))
 def plane_sweep_depth(
     ref_img: jnp.ndarray,
@@ -235,6 +236,12 @@ def plane_sweep_depth(
     min_confidence: float = 0.15,
     coarse_levels: int = 2,
     refine_hyps: int = 5,
+    # Full-resolution hypotheses dominate MVS cost; 3 uniform + the 2
+    # escape hypotheses at the finest level measure quality-neutral vs 5
+    # uniform (cov 0.828/rms 2.70% vs 0.832/2.68% on the GT harness)
+    # while cutting the finest level's gather taps ~30%.
+    refine_hyps_final: int = 3,
+    escape_final: bool = True,
     dist: jnp.ndarray | None = None,
 ) -> DepthMap:
     """Coarse-to-fine plane-sweep stereo for one reference frame.
@@ -307,11 +314,18 @@ def plane_sweep_depth(
         invd = jax.image.resize(invd, (Hl, Wl), "linear")
         conf = jax.image.resize(conf, (Hl, Wl), "linear")
         step = step * 0.5
-        offs = (
-            jnp.arange(refine_hyps, dtype=invd.dtype)
-            - (refine_hyps - 1) / 2.0
-        ) * step
+        # Full-resolution hypotheses are the dominant MVS cost (each is
+        # H*W*M bilinear samples — see DESIGN.md 8b): the finest level
+        # can run a reduced count via `refine_hyps_final` (0 = same).
+        nh = refine_hyps
         escape = (lo, hi)
+        if lev == 0 and refine_hyps_final > 0:
+            nh = refine_hyps_final
+            if escape_final is False:
+                escape = ()
+        offs = (
+            jnp.arange(nh, dtype=invd.dtype) - (nh - 1) / 2.0
+        ) * step
         invd, best_c, _, den_b = _sweep_select(
             refs_zm[lev], nbrs_zm[lev], _scale_K(K, float(2 ** lev)),
             R_rel, t_rel, invd, offs, cost_radius, dist=dist,
@@ -559,6 +573,11 @@ def densify_map(
             if i != r
         ]
 
+    import os as _os
+    import time as _time
+
+    profile = _os.environ.get("MVS_PROFILE", "0") == "1"
+    t0 = _time.time()
     lo_all, hi_all = _depth_ranges(state)
     imgs_dev = [jnp.asarray(g) for g in images_gray[:n_cams]]
     M = max(len(neighbors(r)) for r in range(n_cams))
@@ -600,6 +619,11 @@ def densify_map(
         for j, r in enumerate(chunk):
             depth_maps[r] = jax.tree_util.tree_map(lambda a: a[j], dms)
 
+    if profile:
+        jax.block_until_ready(depth_maps[refs[-1]].depth)
+        print(f"[mvs] pass1 sweeps: {_time.time()-t0:.1f}s", flush=True)
+        t0 = _time.time()
+
     # Pass 2: cross-view consistency + fusion, batched (one dispatch and
     # ONE host transfer per chunk instead of 3 round trips per frame).
     depth_stack = jnp.stack([depth_maps[r].depth for r in refs])
@@ -637,6 +661,10 @@ def densify_map(
             stride=stride, geometric_check=geometric_check, dist=dist,
         )
         chunk_results.append((chunk, out))
+    if profile:
+        jax.block_until_ready(chunk_results[-1][1][0])
+        print(f"[mvs] pass2 fuse dispatch: {_time.time()-t0:.1f}s", flush=True)
+        t0 = _time.time()
     for chunk, (pts_b, cols_b, ok_b, vmap_b) in chunk_results:
         pts_h = np.asarray(pts_b)
         cols_h = np.asarray(cols_b)
@@ -650,6 +678,8 @@ def densify_map(
                 confidence=depth_maps[r].confidence,
                 valid=jnp.asarray(vmap_h[j]),
             )
+    if profile:
+        print(f"[mvs] pass2 host gather: {_time.time()-t0:.1f}s", flush=True)
     if not all_pts:
         pts = np.zeros((0, 3), np.float32)
         cols = np.zeros((0, 3), np.float32)

@@ -106,6 +106,47 @@ def test_pipeline_on_distorted_render(distorted_scene):
     assert rot.max() < 1.0
 
 
+def test_k1_recovery_from_unaware_pipeline(distorted_scene):
+    """The quality-matrix distortion scenario (VERDICT r3 item 7): run
+    the pipeline UNAWARE of the render's radial distortion, then the
+    shared-intrinsics BA block recovers k1 (sign + magnitude within 50%)
+    and improves both cost (>2x) and ATE.
+
+    k2 is not asserted: at this FOV (corner r^2 ~ 0.25) the r^4 term is
+    nearly collinear with r^2 + focal scale and is unidentifiable
+    (measured: k1 -0.226 vs true -0.18; k2 absorbs the remainder)."""
+    from sfm_mvs_tpu.models import ba
+    from sfm_mvs_tpu.models.incremental import IncrementalSfM
+
+    imgs, Rt_gt, K, _ = distorted_scene
+    cfg = SfmConfig(
+        fx=float(K[0, 0]), fy=float(K[1, 1]),
+        cx=float(K[0, 2]), cy=float(K[1, 2]), downscale=1,
+        frontend=FrontendConfig(
+            max_features=1024, num_octaves=3, upsample_input=True,
+            contrast_threshold=0.015, lowe_ratio=0.75,
+        ),
+        map=MapConfig(max_cameras=8, max_points=16384),
+    )
+    sfm = IncrementalSfM(cfg)  # k1=k2=0: distortion NOT modeled
+    state = sfm.run(imgs)
+    assert int(np.asarray(state.cam_valid).sum()) == 5
+    ate0 = evaluate.ate_rmse(
+        np.asarray(state.poses)[np.asarray(state.cam_valid)], Rt_gt
+    )
+    st2, stats, intr = ba.bundle_adjust_map_intrinsics(
+        state, max_iterations=40, cg_iters=30
+    )
+    _, k1, _ = [float(x) for x in intr]
+    assert k1 < 0, "recovered k1 must match the barrel-distortion sign"
+    assert abs(k1 - DIST[0]) < 0.5 * abs(DIST[0])
+    assert float(stats.final_cost) < 0.5 * float(stats.initial_cost)
+    ate1 = evaluate.ate_rmse(
+        np.asarray(st2.poses)[np.asarray(st2.cam_valid)], Rt_gt
+    )
+    assert ate1 < ate0
+
+
 def test_mvs_sweep_with_distortion(distorted_scene):
     """Plane sweep on RAW distorted images with dist passed: depth stays
     within 3% median relative error (rays undistorted, projections
