@@ -613,11 +613,24 @@ class IncrementalSfM:
                 n_closed += int(n1) + int(n2)
             self.state = self.state._replace(map=state)
 
+        # Loop closures can re-associate a landmark that exists as two
+        # track chains; merge duplicates within ~2px-at-median-depth once
+        # the robust phase has straightened them into agreement.
+        merge_eps = 0.0
+        if n_closed:
+            z = np.asarray(
+                jnp.einsum(
+                    "pj,j->p", state.points, state.poses[0][2, :3]
+                ) + state.poses[0][2, 3]
+            )
+            z_med = float(np.median(z[np.asarray(state.point_valid)]))
+            merge_eps = 2.0 * max(z_med, 1e-3) / float(state.K[0, 0])
         state, info = finalize_map(
             state, max_iterations=ba_iterations, cull_px=cull_px,
             # Loop-closure observations may carry large (drift-revealing)
             # errors; relax robustly before the cull can delete them.
             robust_iterations=30 if n_closed else 0,
+            merge_eps_3d=merge_eps,
         )
         if n_closed:
             info["loop_closure_obs"] = n_closed

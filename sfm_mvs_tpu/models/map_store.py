@@ -24,8 +24,10 @@ frame — outside every hot loop.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from sfm_mvs_tpu.utils.config import MapConfig
@@ -233,3 +235,107 @@ def update_poses(state: MapState, cam_ids: jnp.ndarray, poses: jnp.ndarray, vali
     capacity = state.poses.shape[0]
     dest = jnp.where(valid & (cam_ids >= 0), cam_ids, capacity)
     return state._replace(poses=state.poses.at[dest].set(poses, mode="drop"))
+
+
+@partial(jax.jit, static_argnames=("block",))
+def merge_duplicate_points(
+    state: MapState,
+    eps_3d: jnp.ndarray,
+    merge_px: jnp.ndarray,
+    block: int = 1024,
+) -> tuple[MapState, jnp.ndarray, jnp.ndarray]:
+    """Merge map points that describe the SAME landmark twice.
+
+    Loop closure / stitching can re-associate a landmark that already
+    exists as two independent track chains (created on different passes
+    of the camera); the duplicate survives with its own observation row
+    and double-counts its evidence in BA. Closes the "track merging
+    across arbitrary gaps" gap (DESIGN.md §9; reference behavior anchor:
+    the track-based variant's one global track table, test.py:10-26,
+    which cannot hold duplicates by construction).
+
+    A pair (i, j<i) merges when (a) the 3D points are within `eps_3d`,
+    (b) every camera observing BOTH sees them within `merge_px` pixels
+    (no geometric conflict), (c) j is itself a merge ROOT (no chains),
+    and (d) i is j's CLOSEST merge candidate (unique winner per target,
+    so observation-row transfers never collide). Point i's observations
+    fill the cameras where j has none; i is invalidated.
+
+    One pass merges pairs; call again to collapse larger clusters.
+    Returns (state, remap (P,) int32 — remap[i] = surviving id, identity
+    for unmerged — and n_merged ()).
+    """
+    P = state.points.shape[0]
+    block = min(block, P)  # capacities are powers of two, so P % block == 0
+    pts = state.points
+    pv = state.point_valid
+
+    # Blockwise nearest LOWER-INDEX valid neighbor within eps_3d.
+    eps2 = eps_3d * eps_3d
+    idx_all = jnp.arange(P, dtype=jnp.int32)
+
+    def row_block(i0):
+        rows = jax.lax.dynamic_slice(pts, (i0, 0), (block, 3))
+        rv = jax.lax.dynamic_slice(pv, (i0,), (block,))
+        ri = i0 + jnp.arange(block, dtype=jnp.int32)
+        d2 = (
+            jnp.sum(rows * rows, axis=1)[:, None]
+            + jnp.sum(pts * pts, axis=1)[None, :]
+            - 2.0 * rows @ pts.T
+        )  # (block, P)
+        ok = rv[:, None] & pv[None, :] & (idx_all[None, :] < ri[:, None])
+        d2 = jnp.where(ok & (d2 < eps2), d2, jnp.inf)
+        j = jnp.argmin(d2, axis=1).astype(jnp.int32)
+        dmin = jnp.min(d2, axis=1)
+        return jnp.where(jnp.isfinite(dmin), j, -1), dmin
+
+    n_blocks = P // block
+    starts = jnp.arange(n_blocks, dtype=jnp.int32) * block
+    partner, pair_d2 = jax.lax.map(row_block, starts)
+    partner = partner.reshape(P)
+    pair_d2 = pair_d2.reshape(P)
+
+    # (b) pixel-conflict test on the candidate pairs only: (P, C) work.
+    safe_j = jnp.clip(partner, 0, P - 1)
+    both = state.obs_mask & state.obs_mask[safe_j]  # (P, C)
+    duv = jnp.linalg.norm(state.obs_uv - state.obs_uv[safe_j], axis=-1)
+    conflict = jnp.any(both & (duv > merge_px), axis=1)
+
+    # (c) target must be a root; (d) unique winner per target.
+    is_root = partner < 0
+    cand = (partner >= 0) & is_root[safe_j] & ~conflict
+    best_at_j = (
+        jnp.full((P,), jnp.inf)
+        .at[jnp.where(cand, partner, P)]
+        .min(pair_d2, mode="drop")
+    )
+    winner = cand & (pair_d2 <= best_at_j[safe_j])
+    # Tie-break exact-equal distances: lowest source index wins.
+    first_at_j = (
+        jnp.full((P,), P, dtype=jnp.int32)
+        .at[jnp.where(winner, partner, P)]
+        .min(idx_all, mode="drop")
+    )
+    winner = winner & (idx_all == first_at_j[safe_j])
+
+    # Transfer observations i -> j where j lacks them; drop point i.
+    src_mask = jnp.where(winner[:, None], state.obs_mask, False)
+    src_uv = state.obs_uv
+    dest = jnp.where(winner, partner, P)
+    add_mask = (
+        jnp.zeros_like(state.obs_mask).at[dest].set(src_mask, mode="drop")
+    )
+    add_uv = (
+        jnp.zeros_like(state.obs_uv).at[dest].set(src_uv, mode="drop")
+    )
+    new_mask = state.obs_mask | add_mask
+    new_uv = jnp.where(state.obs_mask[..., None], state.obs_uv, add_uv)
+    new_valid = pv & ~winner
+    cleared = winner[:, None]
+    state = state._replace(
+        point_valid=new_valid,
+        obs_mask=jnp.where(cleared, False, new_mask),
+        obs_uv=jnp.where(cleared[..., None], 0.0, new_uv),
+    )
+    remap = jnp.where(winner, partner, idx_all)
+    return state, remap, jnp.sum(winner)

@@ -47,6 +47,8 @@ def finalize_map(
     robust_iterations: int = 0,
     robust_huber_px: float = 3.0,
     cg_iters: int = 20,
+    merge_eps_3d: float = 0.0,
+    merge_px: float = 4.0,
 ) -> tuple[MapState, dict]:
     """Cull -> global BA, repeated `rounds` times (the final polish).
 
@@ -56,7 +58,15 @@ def finalize_map(
     culling first would delete exactly the constraints that localize the
     drift. The robust phase lets them pull the trajectory straight with
     bounded influence, after which the normal cull->BA rounds clean up.
+
+    merge_eps_3d > 0 additionally collapses DUPLICATE landmarks (two
+    track chains of the same physical point, re-associated by a loop
+    closure) via map_store.merge_duplicate_points, run twice (pairs ->
+    clusters) after the robust phase so duplicates straightened into
+    agreement unite before the cull rounds.
     """
+    from sfm_mvs_tpu.models import map_store
+
     info = {}
     if robust_iterations > 0:
         state, stats = ba_mod.bundle_adjust_map(
@@ -64,6 +74,14 @@ def finalize_map(
             huber_delta=robust_huber_px,
         )
         info["robust_cost"] = float(stats.final_cost)
+    if merge_eps_3d > 0.0:
+        n_total = 0
+        for _ in range(2):
+            state, _, n = map_store.merge_duplicate_points(
+                state, jnp.asarray(merge_eps_3d), jnp.asarray(merge_px)
+            )
+            n_total += int(n)
+        info["merged_points"] = n_total
     for r in range(rounds):
         state = cull_map(state, max_error_px=cull_px)
         state, stats = ba_mod.bundle_adjust_map(

@@ -46,9 +46,10 @@ def test_latest_bench_artifact_above_floor():
         )
     import statistics
 
-    median = statistics.median(reps)
+    warm = reps[1:] if len(reps) > 2 else reps  # rep 0 = warmup pass
+    median = statistics.median(warm)
     assert median >= FLOOR_FPS, (
-        f"bench steady-state regressed: median rep {median:.1f} fps "
+        f"bench steady-state regressed: median warm rep {median:.1f} fps "
         f"< floor {FLOOR_FPS} fps ({os.path.basename(art)})"
     )
 
@@ -71,7 +72,7 @@ def test_claude_md_bench_state_is_current():
         return  # pre-methodology artifact; doc may legitimately differ
     import statistics
 
-    median = statistics.median(reps)
+    median = statistics.median(reps[1:] if len(reps) > 2 else reps)
     assert 0.5 * median <= recorded <= 2.0 * median, (
         f"CLAUDE.md records {recorded} fps but the newest artifact's "
         f"steady-state median is {median:.1f} fps — update the doc"
