@@ -56,7 +56,10 @@ def timeit(fn, arglists, reps=12):
         s = jnp.float32(0.0)
         for l in leaves[:3]:
             s = s + jnp.sum(l[..., :1].astype(jnp.float32))
-        return s * 1e-12
+        # Accumulate the carry: without this, carries CYCLE with the
+        # arglist period and reps become bitwise-identical dispatches
+        # the tunnel can cache (measured: 0.04ms for a 29ms detect).
+        return carry * 0.5 + s * 1e-12
 
     carry = step(jnp.float32(0.0), arglists[0])  # compile
     jax.block_until_ready(carry)
@@ -206,6 +209,17 @@ def main():
     except Exception as e:  # pragma: no cover
         res["matcher_pallas_error"] = repr(e)[:200]
 
+    # Sanity floor: a full detect at 968x648 cannot execute in <1 ms.
+    # In some tunnel states block_until_ready returns without waiting and
+    # chained timing degrades to dispatch-side Python time (measured
+    # 0.04-0.07 ms for a 29 ms kernel on 2026-08-21); flag it rather
+    # than publish garbage (CLAUDE.md tunnel-timing pitfall).
+    if res.get("detect_total_ms", 1e9) < 1.0:
+        res["WARNING"] = (
+            "timings are dispatch-only (tunnel returned unready results);"
+            " rerun in a healthy tunnel state and cross-check against an"
+            " end-to-end wall"
+        )
     print(json.dumps({k: round(v, 3) if isinstance(v, float) else v
                       for k, v in res.items()}))
 

@@ -56,7 +56,10 @@ def timeit(fn, arglists, reps=10):
         for l in leaves[:3]:
             la = jnp.atleast_1d(l)
             s = s + jnp.sum(la[..., :1].astype(jnp.float32))
-        return s * 1e-12
+        # Accumulate the carry: without this, carries CYCLE with the
+        # arglist period and reps become bitwise-identical dispatches
+        # the tunnel can cache (measured: 0.04ms for a 29ms detect).
+        return carry * 0.5 + s * 1e-12
 
     carry = step(jnp.float32(0.0), arglists[0])
     import jax as _j
