@@ -353,9 +353,18 @@ def main():
         ),
     }
     os.makedirs(os.path.join(os.path.dirname(__file__), "..", "artifacts"), exist_ok=True)
+    # A run that fails registration must not clobber the committed
+    # artifact (measured: 500 frames at the 170-deg CLAMPED arc halve
+    # per-step parallax to 0.34 deg and the seq (0,1) bootstrap
+    # degenerates at frame ~82 — the scene's scaling axis caps near
+    # ~290 frames at 0.58 deg/step; beyond that, raise arc density or
+    # use bootstrap=auto, don't just raise LARGE_FRAMES).
+    name = (
+        "LARGE_SCENE_r04.json" if n_cams == N_FRAMES
+        else "LARGE_SCENE_r04_FAILED.json"
+    )
     with open(
-        os.path.join(os.path.dirname(__file__), "..", "artifacts", "LARGE_SCENE_r04.json"),
-        "w",
+        os.path.join(os.path.dirname(__file__), "..", "artifacts", name), "w"
     ) as fh:
         json.dump(result, fh, indent=1)
     print(json.dumps(result))
