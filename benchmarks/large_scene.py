@@ -87,7 +87,12 @@ def main():
 
     W, H = 480, 360
     focal = 600.0
-    arc = min(0.58 * N_FRAMES, 170.0)
+    # Arc capped at 145 deg (+-72.5): the staircase strips become edge-on
+    # near +-85 and the end-of-arc views degenerate (a 500-frame probe at
+    # 170 deg produced a 17-point bootstrap at the -85 deg end). Beyond
+    # 250 frames the scaling axis is frame DENSITY at the proven span,
+    # handled by the stride-S bootstrap + keyframe-anchored registration.
+    arc = min(0.58 * N_FRAMES, 145.0)
     t0 = time.time()
     imgs, Rt_gt, K = render_staircase_sequence(
         num_cameras=N_FRAMES, image_size=(W, H), focal=focal,
@@ -134,13 +139,49 @@ def main():
         return state
 
     # ---- Warmup: compile every program used in the timed region. ----
+    # Bootstrap pair (0, S): at high frame DENSITY the adjacent pair's
+    # parallax degenerates (500 frames over the scene's 170-deg arc is
+    # 0.34 deg/step; the seq (0,1) bootstrap collapsed at frame ~82), so
+    # S spans ~0.6 deg of arc. Frames 1..S-1 are then registered as
+    # ordinary catch-up registrations and the camera slots reordered to
+    # frame order, restoring the cam-id == frame-id invariant the
+    # interleaved stitch relies on. S == 1 (the 250-frame setting)
+    # reproduces the plain sequential flow.
+    per_step = arc / max(N_FRAMES - 1, 1)
+    S = int(os.environ.get("LARGE_BOOT_STRIDE", "0")) or max(
+        1, int(round(0.58 / per_step))
+    )
     t0 = time.time()
     key = jax.random.PRNGKey(0)
     keys = jax.random.split(key, N_FRAMES + 1)
-    f0, f1, f2 = detect(stack8[0]), detect(stack8[1]), detect(stack8[2])
-    pstate, _ = init_from_bootstrap(keys[0], f0, f1, bgr(stack8[1]), Kj, cfg)
-    track1 = pstate.prev_track
-    pstate, _ = register_frame(keys[2], pstate, f2, bgr(stack8[2]), cfg)
+    feats0 = {i: detect(stack8[i]) for i in range(0, S + 2)}
+    f1 = feats0[min(1, S)]  # warmup shapes for the stitch programs
+    pstate, _ = init_from_bootstrap(
+        keys[0], feats0[0], feats0[S], bgr(stack8[S]), Kj, cfg
+    )
+    track_S = pstate.prev_track
+    track1 = track_S
+    catchup = {}
+    for fidx in range(1, S):
+        pstate, _ = register_frame(
+            keys[fidx], pstate, feats0[fidx], bgr(stack8[fidx]), cfg
+        )
+        catchup[fidx] = pstate.prev_track
+    if S > 1:
+        perm = [0] + list(range(2, S + 1)) + [1]
+        pstate = pstate._replace(
+            map=map_store.reorder_cameras(
+                pstate.map, jnp.asarray(perm, jnp.int32)
+            ),
+            prev_feats=feats0[S],
+            prev_track=track_S,
+        )
+    # Anchored form when S > 1 (the keyframe loop passes anchor_cam as a
+    # traced array — compile it here, not inside the timed region).
+    pstate, _ = register_frame(
+        keys[S + 1], pstate, feats0[S + 1], bgr(stack8[S + 1]), cfg,
+        anchor_cam=jnp.asarray(S, jnp.int32) if S > 1 else None,
+    )
     pstate = pstate._replace(map=window_ba(pstate.map))
     # Stitch + final-BA programs (dummy shapes identical to the real ones).
     stack = lambda xs: jax.tree_util.tree_map(lambda *l: jnp.stack(l), *xs)
@@ -182,8 +223,10 @@ def main():
     print(f"compile+bootstrap {time.time()-t0:.1f}s", file=sys.stderr)
 
     # ---- Timed region: registration + interleaved stitching. ----
-    feats_kept = {1: f1, 2: f2}
-    tracks_kept = {1: track1, 2: pstate.prev_track}
+    feats_kept = {i: feats0[i] for i in range(1, S + 2)}
+    tracks_kept = dict(catchup)
+    tracks_kept[S] = track_S
+    tracks_kept[S + 1] = pstate.prev_track
     cand_cache = []  # [(chunk_pairs, StitchCandidates)]
     stitched_j = set()
     inj_dev = []  # device-side injected counts (one sync at the end)
@@ -235,13 +278,37 @@ def main():
     segments = []
     skey = jax.random.PRNGKey(7)
     n_pairs_total = 0
-    for i in range(3, N_FRAMES):
+    # KEYFRAME-ANCHORED registration for dense sequences (S > 1): every
+    # frame is matched, PnP'd AND triangulated against the last KEYFRAME
+    # (stride S) instead of the previous frame, keeping the triangulation
+    # baseline at ~0.6 deg regardless of frame density. The plain
+    # prev-frame chain at 0.34 deg/step collapsed at frame ~82 (adjacent
+    # -pair triangulation noise starves PnP of 4px inliers, one rejection
+    # stalls the map, and the scene rotates away for good).
+    KEY = S
+    kf_frame = S + 1
+    kf_feats = pstate.prev_feats
+    kf_track = pstate.prev_track
+    for i in range(S + 2, N_FRAMES):
         f = detect(stack8[i])
-        pstate, st = register_frame(keys[i], pstate, f, bgr(stack8[i]), cfg)
+        anchor = jnp.asarray(kf_frame, jnp.int32) if KEY > 1 else None
+        pstate, st = register_frame(
+            keys[i], pstate, f, bgr(stack8[i]), cfg, anchor_cam=anchor
+        )
         if i % BA_CADENCE == 0:
             pstate = pstate._replace(map=window_ba(pstate.map))
         feats_kept[i] = f
         tracks_kept[i] = pstate.prev_track
+        if KEY > 1:
+            if (i - kf_frame) >= KEY:
+                kf_frame, kf_feats, kf_track = (
+                    i, pstate.prev_feats, pstate.prev_track
+                )
+            else:
+                # Next frame still registers against the last keyframe.
+                pstate = pstate._replace(
+                    prev_feats=kf_feats, prev_track=kf_track
+                )
         if (i - 1) % SEGMENT == 0 or i == N_FRAMES - 1:
             jax.block_until_ready(pstate.map.points)
             now = time.time()
@@ -327,7 +394,8 @@ def main():
         "total_wall_s": round(total_wall, 1),
         "registration_and_stitch_wall_s": round(reg_wall, 1),
         "finalize_wall_s": round(fin_wall, 1),
-        "frames_per_s_incl_stitch": round((N_FRAMES - 3) / reg_wall, 2),
+        "frames_per_s_incl_stitch": round((N_FRAMES - S - 2) / reg_wall, 2),
+        "bootstrap_pair_stride": S,
         "segments": segments,
         "cameras": n_cams,
         "points": live,
@@ -359,10 +427,15 @@ def main():
     # degenerates at frame ~82 — the scene's scaling axis caps near
     # ~290 frames at 0.58 deg/step; beyond that, raise arc density or
     # use bootstrap=auto, don't just raise LARGE_FRAMES).
-    name = (
-        "LARGE_SCENE_r04.json" if n_cams == N_FRAMES
-        else "LARGE_SCENE_r04_FAILED.json"
-    )
+    # Canonical artifact only for a SUCCESSFUL run of the default
+    # 250-frame configuration; probe runs (other sizes) and failed runs
+    # get suffixed names and never clobber it.
+    if n_cams != N_FRAMES:
+        name = f"LARGE_SCENE_r04_FAILED_{N_FRAMES}.json"
+    elif N_FRAMES == 250:
+        name = "LARGE_SCENE_r04.json"
+    else:
+        name = f"LARGE_SCENE_r04_{N_FRAMES}.json"
     with open(
         os.path.join(os.path.dirname(__file__), "..", "artifacts", name), "w"
     ) as fh:
