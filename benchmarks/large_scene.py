@@ -197,7 +197,7 @@ def main():
         pstate.map, cand_w.cam_a, cand_w.tids_a, cand_w.uv_a, cand_w.ok,
         jnp.asarray(cfg.map.stitch_gate_px),
     )
-    _ = exhaustive.covisibility_matrix(pstate.map)
+    _ = exhaustive.covisibility_matrix(pstate.map, image_size=(W, H))
     # Prewarm the finalize programs at the STATIC compacted capacity
     # (compact+shrink -> COMPACT_CAP): robust BA, candidate re-apply,
     # and the finalize_map polish — finalize then runs with warm
@@ -235,7 +235,9 @@ def main():
     def stitch_segment(state, hi_frame, skey):
         """Retrieve covisible loop pairs with j <= hi_frame not yet
         stitched; match+verify once; inject both directions."""
-        cnt = np.asarray(exhaustive.covisibility_matrix(state))
+        cnt = np.asarray(
+            exhaustive.covisibility_matrix(state, image_size=(W, H))
+        )
         n = int(np.asarray(state.cam_valid).sum())
         pairs = exhaustive.retrieve_stitch_pairs(
             cnt, min(n, hi_frame + 1), min_gap=8, min_covis=48,

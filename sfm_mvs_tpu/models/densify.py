@@ -204,15 +204,23 @@ def densify_sweep(
 
 
 def redetect_for_sweep(
-    images_gray: Sequence, cfg: SfmConfig
+    images_gray: Sequence, cfg: SfmConfig, K: Optional[jnp.ndarray] = None
 ) -> list[Features]:
-    """Detect sweep features at the (denser) sweep budget for each frame."""
+    """Detect sweep features at the (denser) sweep budget for each frame.
+
+    With nonzero cfg.k1/k2 (and K given) the detected keypoints are
+    undistorted once here, matching the driver's detection-time correction
+    — the map the sweep triangulates into is pinhole-consistent."""
+    from sfm_mvs_tpu.models.incremental import _undistort_features
     from sfm_mvs_tpu.ops import sift
 
     fc = sweep_frontend_config(cfg)
-    return [
+    feats = [
         sift.detect_and_compute(jnp.asarray(g), fc) for g in images_gray
     ]
+    if K is not None and (cfg.k1 != 0.0 or cfg.k2 != 0.0):
+        feats = [_undistort_features(f, K, cfg) for f in feats]
+    return feats
 
 
 def finalize_with_sweep(
@@ -237,7 +245,7 @@ def finalize_with_sweep(
     cfg = cfg or SfmConfig()
     info: dict = {}
     if images_gray is not None and sweep_frontend_config(cfg) is not cfg.frontend:
-        feats = redetect_for_sweep(images_gray, cfg)
+        feats = redetect_for_sweep(images_gray, cfg, K=state.K)
     state = map_store.grow_map(state, cfg.sweep.grow_points)
     state, info["swept_points"] = densify_sweep(state, feats, images_bgr, cfg)
     if cfg.sweep.final_ba_iters > 0:

@@ -62,11 +62,19 @@ def _sample_colors(image_bgr: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
 def _undistort_features(feats: Features, K: jnp.ndarray, cfg: SfmConfig):
     """Front-door radial-distortion correction (cfg.k1/k2; zero = no-op).
 
-    Undistorting the detected keypoints once makes every downstream stage
-    (E-RANSAC, triangulation, PnP, BA, MVS rays) pinhole-consistent — the
-    same factorization as undistorting the images, at keypoint cost. The
-    reference instead threads dist through each cv2 call (sfm.py:67,88).
-    cfg is static under jit, so the zero-distortion path compiles away.
+    Undistorting the detected keypoints ONCE AT DETECTION TIME makes every
+    downstream consumer (E-RANSAC, triangulation, PnP, BA, MVS rays, the
+    finalize loop-closure injection and densify sweep) pinhole-consistent —
+    the same factorization as undistorting the images, at keypoint cost.
+    The reference instead threads dist through each cv2 call (sfm.py:67,88).
+
+    Applied by the driver in ``get_feats`` right after detection, so the
+    stored per-camera features (``_cam_feats``) and everything derived
+    from them live in the SAME corrected coordinates as the map.
+    ``register_frame``/``init_from_bootstrap`` therefore expect features
+    that are already pinhole-consistent and do NOT undistort internally
+    (advisor r4: the old internal correction left ``_cam_feats`` raw,
+    so finalize injected distorted pixels into an undistorted map).
     """
     if cfg.k1 == 0.0 and cfg.k2 == 0.0:
         return feats
@@ -91,9 +99,10 @@ def init_from_bootstrap(
     return_track0: additionally return the track-id vector for frame 0's
     feature slots (the auto-bootstrap driver registers frames on BOTH
     sides of the bootstrap pair, so both anchors need track vectors).
+
+    feats0/feats1 must be pinhole-consistent: with nonzero cfg.k1/k2 the
+    caller undistorts once at detection time (see _undistort_features).
     """
-    feats0 = _undistort_features(feats0, K, cfg)
-    feats1 = _undistort_features(feats1, K, cfg)
     tv = bootstrap(key, feats0, feats1, K, cfg)
     state = map_store.init_map(K, cfg.map)
     state, cam0 = map_store.append_camera(state, tv.pose0)
@@ -141,11 +150,13 @@ def register_frame(
     window); the auto-bootstrap driver passes it explicitly because its
     registration order walks away from the bootstrap pair in both
     directions.
+
+    new_feats must be pinhole-consistent: with nonzero cfg.k1/k2 the
+    caller undistorts once at detection time (see _undistort_features).
     """
     fc, rc = cfg.frontend, cfg.ransac
     state = pstate.map
     K = state.K
-    new_feats = _undistort_features(new_feats, K, cfg)
     prev = pstate.prev_feats
 
     # 1. Match previous frame -> new frame (sfm.py:347 find_features).
@@ -386,10 +397,14 @@ class IncrementalSfM:
 
         def get_feats(i):
             if pre_feats is not None:
-                return pre_feats[i]
-            return sift.detect_and_compute(
-                jnp.asarray(images_gray[i]), cfg.frontend
-            )
+                f = pre_feats[i]
+            else:
+                f = sift.detect_and_compute(
+                    jnp.asarray(images_gray[i]), cfg.frontend
+                )
+            # Undistort ONCE at detection time so the stored per-camera
+            # features (loop closure, densify sweep) and the map agree.
+            return _undistort_features(f, K, cfg)
 
         key = jax.random.PRNGKey(seed)
         # Per REGISTERED camera (rejected frames excluded): features,
@@ -634,6 +649,20 @@ class IncrementalSfM:
         )
         if n_closed:
             info["loop_closure_obs"] = n_closed
+        merge_remap = info.pop("point_remap", None)
+        if merge_remap is not None:
+            # Duplicate-landmark merging re-pointed some track ids at
+            # their surviving twins; keep the driver's track vectors in
+            # step (they feed the densify sweep below and any resumed
+            # registration — advisor r4).
+            def _remap_merged(t):
+                safe = jnp.clip(t, 0, merge_remap.shape[0] - 1)
+                return jnp.where(t >= 0, merge_remap[safe], -1)
+
+            self._cam_tracks = [_remap_merged(t) for t in self._cam_tracks]
+            self.state = self.state._replace(
+                prev_track=_remap_merged(self.state.prev_track)
+            )
         aligned = len(self._cam_feats) == int(state.num_cams)
         if self.config.sweep.enabled and not aligned:
             # Resumed runs don't retain pre-resume frames; the sweep

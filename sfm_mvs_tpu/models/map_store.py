@@ -127,10 +127,19 @@ def append_observations(
 ) -> MapState:
     """Record observations of `point_ids` in camera `cam_id` (scalar).
 
-    One masked scatter into the dense (P, C) observation grid.
+    One masked scatter into the dense (P, C) observation grid. Duplicate
+    valid point_ids (two feature slots claiming the same track — the
+    merge-reobservation path can produce them) are resolved
+    DETERMINISTICALLY: the lowest slot index wins; XLA's scatter order
+    between duplicate destinations is otherwise unspecified (advisor r4).
     """
+    M = point_ids.shape[0]
     P = state.points.shape[0]
     dest = jnp.where(valid & (point_ids >= 0), point_ids, P)
+    slot = jnp.arange(M, dtype=jnp.int32)
+    winner = jnp.full((P + 1,), M, jnp.int32).at[dest].min(slot, mode="drop")
+    valid = valid & (winner[jnp.clip(dest, 0, P)] == slot)
+    dest = jnp.where(valid, dest, P)
     return state._replace(
         obs_uv=state.obs_uv.at[dest, cam_id].set(uv, mode="drop"),
         obs_mask=state.obs_mask.at[dest, cam_id].set(valid, mode="drop"),

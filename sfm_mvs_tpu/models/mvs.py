@@ -554,22 +554,25 @@ def densify_map(
     ready for io.to_ply (dense.ply — the output slot the reference
     declared but never produced, sfm.py:199/298).
     """
-    n_cams = int(state.num_cams)
-    if max_refs is not None:
-        # Sweep only the first max_refs reference frames (e.g. a warmup
-        # pass that compiles the batched programs without paying for the
-        # full sequence). Neighbors still come from the full camera set.
-        n_cams = min(n_cams, max_refs)
+    n_total = int(state.num_cams)
+    # max_refs sweeps only the first max_refs reference frames (e.g. a
+    # warmup pass that compiles the batched programs without paying for
+    # the full sequence). Neighbor SELECTION and the padded neighbor
+    # count M come from the FULL camera set, so a warmup call compiles
+    # exactly the program shapes the full run uses (advisor r4: the old
+    # clamp gave a small-max_refs warmup a smaller M — different
+    # programs, defeating the prewarm).
+    n_cams = n_total if max_refs is None else min(n_total, max_refs)
     K = state.K
     if mesh is not None:
         n_dev = int(np.prod(mesh.devices.shape))
         batch = max(batch, n_dev)
         batch = ((batch + n_dev - 1) // n_dev) * n_dev
 
-    def neighbors(r):
+    def neighbors(r, hi=n_total):
         return [
             i
-            for i in range(max(0, r - num_neighbors), min(n_cams, r + num_neighbors + 1))
+            for i in range(max(0, r - num_neighbors), min(hi, r + num_neighbors + 1))
             if i != r
         ]
 
@@ -579,8 +582,11 @@ def densify_map(
     profile = _os.environ.get("MVS_PROFILE", "0") == "1"
     t0 = _time.time()
     lo_all, hi_all = _depth_ranges(state)
-    imgs_dev = [jnp.asarray(g) for g in images_gray[:n_cams]]
-    M = max(len(neighbors(r)) for r in range(n_cams))
+    # Pass 1 warps neighbor IMAGES (full-set neighbors reach past the
+    # swept refs); stage only the frames actually touched.
+    n_imgs = min(n_total, n_cams + num_neighbors)
+    imgs_dev = [jnp.asarray(g) for g in images_gray[:n_imgs]]
+    M = max(len(neighbors(r)) for r in range(n_total))
 
     # Pass 1: depth maps, one vmapped dispatch per batch of refs.
     depth_maps: dict[int, DepthMap] = {}
@@ -641,8 +647,16 @@ def densify_map(
         chunk = refs[s : s + batch]
         pad = batch - len(chunk)
         chunk_p = chunk + [chunk[-1]] * pad
-        nbrs_l = [neighbors(r) for r in chunk_p]
-        nbr_idx = [(nn + [nn[0]] * M)[:M] for nn in nbrs_l]
+        # Pass 2 samples neighbor DEPTH MAPS, which exist only for swept
+        # refs — restrict to those (only reachable when max_refs < the
+        # camera count, i.e. warmup; padded slots vote via nbr_valid).
+        nbrs_l = [
+            [i for i in neighbors(r) if i < n_cams] for r in chunk_p
+        ]
+        nbr_idx = [
+            ((nn or [r]) + [(nn or [r])[0]] * M)[:M]
+            for nn, r in zip(nbrs_l, chunk_p)
+        ]
         nbr_valid = np.zeros((batch, M), bool)
         for j, nn in enumerate(nbrs_l):
             nbr_valid[j, : len(nn)] = True

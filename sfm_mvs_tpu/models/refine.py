@@ -76,12 +76,21 @@ def finalize_map(
         info["robust_cost"] = float(stats.final_cost)
     if merge_eps_3d > 0.0:
         n_total = 0
+        remap_total = None
         for _ in range(2):
-            state, _, n = map_store.merge_duplicate_points(
+            state, remap, n = map_store.merge_duplicate_points(
                 state, jnp.asarray(merge_eps_3d), jnp.asarray(merge_px)
             )
             n_total += int(n)
+            remap_total = (
+                remap if remap_total is None else remap[remap_total]
+            )
         info["merged_points"] = n_total
+        # Composed point-id remap (remap[i] = surviving id, identity for
+        # unmerged). Callers holding external track vectors MUST re-point
+        # them at the survivors (advisor r4: the driver's _cam_tracks
+        # kept referencing merged-away ids). Popped before JSON logging.
+        info["point_remap"] = remap_total
     for r in range(rounds):
         state = cull_map(state, max_error_px=cull_px)
         state, stats = ba_mod.bundle_adjust_map(
