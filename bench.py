@@ -31,8 +31,14 @@ N_FRAMES = int(os.environ.get("BENCH_FRAMES", "57"))
 # Tunnel-noise hardening: the timed loop reruns BENCH_REPS times with warm
 # compiles (r02's identical code printed 39.8 fps under a loaded compile
 # server and 46.4 from the driver; r03 printed 35.3 — single samples can't
-# separate code regressions from tunnel load). Canonical value = MEDIAN rep.
-N_REPS = int(os.environ.get("BENCH_REPS", "3"))
+# separate code regressions from tunnel load). Canonical value = MEDIAN of
+# the WARM reps (rep 0 is the dispatch-warmup pass). VERDICT r4 item 3:
+# 3 reps x 0.8 s windows left +-20% warm spread — too few/short to defend
+# a median — so each rep now times BENCH_PASSES consecutive replays of
+# the sequence (every pass value-distinct AND data-chained through the
+# previous pass's BA output, per the CLAUDE.md tunnel rules).
+N_REPS = int(os.environ.get("BENCH_REPS", "7"))
+N_PASSES = int(os.environ.get("BENCH_PASSES", "6"))
 IMAGE_SIZE = (
     (968, 648)
     if os.environ.get("BENCH_SMALL", "0") != "1"
@@ -135,34 +141,55 @@ def main():
     log(f"compile+bootstrap: {time.time()-t0:.1f}s")
 
     # --- Timed steady-state loop: frames 3..N-1, one dispatch per frame.
-    # Repeated N_REPS times from the same post-bootstrap state with warm
-    # compiles; identical keys per rep -> identical work, pure timing reps.
-    n_timed = N_FRAMES - 3
+    # Repeated N_REPS times; each rep times N_PASSES consecutive replays
+    # of the sequence from the same post-bootstrap device state (longer
+    # windows average out tunnel jitter). Every pass is value-distinct
+    # (a fresh 1e-6-scale eps, far below any detection threshold) AND
+    # data-chained through the previous pass's BA output, so the tunnel
+    # can neither dedup nor legitimately cache any dispatch.
+    n_timed = (N_FRAMES - 3) * max(1, N_PASSES)
     keys = jax.random.split(key, N_FRAMES)
     rep_fps = []
-    eps = jnp.float32(0.0)  # becomes data-dependent after rep 0
+    eps = jnp.float32(0.0)  # becomes data-dependent after the first pass
+    pass_no = 0
+    timed_t0 = time.time()
     for rep in range(max(1, N_REPS)):
-        pstate, _, ba_stats = frame_step(k1, pstate0, stack8[2], eps)
-        jax.block_until_ready(pstate.map.points)
+        pstate2, _, ba_stats = frame_step(k1, pstate0, stack8[2], eps)
+        jax.block_until_ready(pstate2.map.points)
         ba_costs = []
         t0 = time.time()
-        for i in range(3, N_FRAMES):
-            pstate, st, ba_stats = frame_step(keys[i], pstate, stack8[i], eps)
-            ba_costs.append(ba_stats.final_cost)  # device scalars, no sync
+        for _p in range(max(1, N_PASSES)):
+            pstate = pstate2  # post-frame-2 state: passes replay 3..N-1
+            for i in range(3, N_FRAMES):
+                pstate, st, ba_stats = frame_step(keys[i], pstate, stack8[i], eps)
+                ba_costs.append(ba_stats.final_cost)  # device scalars, no sync
+            # Accumulating, data-dependent carry into the next pass
+            # (CLAUDE.md: non-accumulating carries repeat bitwise after
+            # one cycle and the tunnel can cache the whole pass).
+            pass_no += 1
+            eps = ba_stats.final_cost * 0.0 + jnp.float32(1e-6) * pass_no
         jax.block_until_ready(pstate.map.points)
         elapsed = time.time() - t0
         rep_fps.append(n_timed / elapsed)
         log(f"rep {rep}: frames/s={rep_fps[-1]:.3f} ({elapsed:.2f}s)")
-        # Chain the next rep through this rep's output (see detect_u8) AND
-        # make its inputs value-distinct (defeats value-level result
-        # caching in the tunnel; 1e-6 on [0,1] pixels is far below any
-        # detection threshold, so the workload is unchanged).
-        eps = ba_stats.final_cost * 0.0 + jnp.float32(1e-6) * (rep + 1)
+    timed_wall = time.time() - timed_t0
     # Canonical value: median of the WARM reps — rep 0 is definitionally
     # the dispatch-warmup pass (measured 39-43 fps vs 93-103 warm).
     warm = rep_fps[1:] if len(rep_fps) > 2 else rep_fps
     fps = float(np.median(warm))
+    spread = float((max(warm) - min(warm)) / fps) if len(warm) > 1 else 0.0
     elapsed = n_timed / fps
+    # Wall cross-check (CLAUDE.md: chained timing is only valid in some
+    # tunnel states): the sum of per-rep windows must account for most of
+    # the timed section's wall clock, else block_until_ready returned
+    # without waiting and the numbers are dispatch-side fiction.
+    window_sum = sum(n_timed / f for f in rep_fps)
+    if window_sum < 0.5 * timed_wall - 2.0:
+        log(
+            f"WARNING: timed windows sum to {window_sum:.1f}s inside a "
+            f"{timed_wall:.1f}s wall — tunnel timing suspect, treat fps "
+            f"as an upper bound"
+        )
 
     state = pstate.map
     n_cams = int(np.asarray(state.cam_valid).sum())
@@ -170,7 +197,8 @@ def main():
     ate = evaluate.ate_rmse(poses, Rt_gt[:n_cams]) if n_cams == N_FRAMES else float("nan")
     final_rms = float(np.sqrt(np.asarray(ba_costs[-1])))
     log(
-        f"frames/s={fps:.3f} ({n_timed} frames in {elapsed:.1f}s), "
+        f"frames/s={fps:.3f} median of {len(warm)} warm reps "
+        f"(spread {100*spread:.1f}%), ({n_timed} frames in {elapsed:.1f}s), "
         f"registered {n_cams}/{N_FRAMES} cams, "
         f"{int(state.num_points)} points, {int(map_store.num_observations(state))} obs, "
         f"final BA rms={final_rms:.4f}px, ATE={ate:.5f}"
@@ -244,6 +272,8 @@ def main():
                 "unit": "frames/s",
                 "vs_baseline": round(fps / REFERENCE_BA_FPS, 2),
                 "reps": [round(f, 3) for f in rep_fps],
+                "warm_spread_pct": round(100 * spread, 1),
+                "frames_per_rep_window": n_timed,
             }
         )
     )

@@ -37,6 +37,16 @@ N_FRAMES = int(os.environ.get("LARGE_FRAMES", "250"))
 BA_CADENCE = int(os.environ.get("LARGE_BA_CADENCE", "1"))
 MAX_CAMS = int(os.environ.get("LARGE_MAX_CAMS", "256"))
 MAX_POINTS = int(os.environ.get("LARGE_MAX_POINTS", "131072"))
+# LARGE_SHARDED=1: run the SAME workload with the point-axis-sharded
+# observation grid (BASELINE config 4 "sharded map blocks"): the map is
+# laid out with mesh.shard_map_state, per-frame windowed BA runs
+# distributed_ba.bundle_adjust_window_sharded, the finalize robust
+# rounds run bundle_adjust_map_sharded, and registration + stitch
+# programs execute GSPMD-partitioned over the sharded grid. Intended on
+# the virtual CPU mesh (LARGE_DEVICES virtual devices) for correctness
+# vs the unsharded artifact; wall time is NOT comparable to TPU runs.
+SHARDED = os.environ.get("LARGE_SHARDED", "0") == "1"
+N_DEVICES = int(os.environ.get("LARGE_DEVICES", "8"))
 SEGMENT = 25  # frames per timing/stitch segment
 BATCH = 32  # stitch pairs per dispatch
 STITCH_ITERS = int(os.environ.get("LARGE_STITCH_ITERS", "512"))
@@ -72,6 +82,8 @@ def main():
 
     if os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    if SHARDED:
+        jax.config.update("jax_num_cpu_devices", N_DEVICES)
     import dataclasses
 
     import jax.numpy as jnp
@@ -127,11 +139,25 @@ def main():
 
     wp = min(16_384, MAX_POINTS)
 
+    mesh = None
+    if SHARDED:
+        from sfm_mvs_tpu.parallel import distributed_ba, mesh as meshlib
+
+        mesh = meshlib.make_mesh((N_DEVICES,), ("data",))
+        print(f"sharded mode: {N_DEVICES}-device mesh, point axis sharded",
+              file=sys.stderr)
+
     def window_ba(state):
         # 24 active cams + 8 frozen ANCHOR cams: observations in the
         # frozen band keep long tracks constraining the window (r3's
         # (24, 2) window dropped out-of-window track constraints —
         # VERDICT weak-5; see ba.bundle_adjust_window docstring).
+        if SHARDED:
+            state, _ = distributed_ba.bundle_adjust_window_sharded(
+                state, mesh, window_cams=32, window_points=wp,
+                freeze_cams=8, max_iterations=6, cg_iters=12,
+            )
+            return state
         state, _ = ba.bundle_adjust_window(
             state, window_cams=32, window_points=wp, freeze_cams=8,
             max_iterations=6, cg_iters=12,

@@ -72,6 +72,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ba-refine-intrinsics", action="store_true",
                    help="refine shared [focal_scale, k1, k2] in the final "
                         "global BA (notebook prototype's camera model)")
+    p.add_argument("--ba-refine-intrinsics-per-camera", action="store_true",
+                   help="refine (f, k1, k2) PER CAMERA in the final global "
+                        "BA (the notebook's full 9-param camera); recovered "
+                        "blocks are reported in the finalize info")
     p.add_argument("--batch-detect", type=int, default=0,
                    help="pre-detect features in vmapped batches of this size")
     p.add_argument("--no-pallas-matcher", action="store_true",
@@ -138,6 +142,7 @@ def config_from_args(args) -> "SfmConfig":
             max_iterations=args.ba_iterations,
             local_window=args.ba_local_window,
             refine_intrinsics=args.ba_refine_intrinsics,
+            refine_intrinsics_per_camera=args.ba_refine_intrinsics_per_camera,
         ),
         map=MapConfig(max_cameras=args.max_cameras, max_points=args.max_points),
         sweep=SweepConfig(
@@ -213,6 +218,7 @@ def main(argv=None) -> int:
 
     if args.pipeline == "global" and (
         args.sweep or args.loop_close or args.ba_refine_intrinsics
+        or args.ba_refine_intrinsics_per_camera
     ):
         print(
             "warning: --sweep/--loop-close/--ba-refine-intrinsics are "
@@ -222,7 +228,7 @@ def main(argv=None) -> int:
         )
     if (
         args.finalize or args.sweep or args.loop_close
-        or args.ba_refine_intrinsics
+        or args.ba_refine_intrinsics or args.ba_refine_intrinsics_per_camera
     ) and args.pipeline == "incremental":
         state = sfm.finalize(ba_iterations=args.ba_iterations)
         print(f"finalize: {sfm.finalize_info}")

@@ -681,16 +681,30 @@ class IncrementalSfM:
                 cull_px=cull_px, images_gray=self._cam_gray,
             )
             info.update(sweep_info)
-        if self.config.ba.refine_intrinsics:
+        if (
+            self.config.ba.refine_intrinsics
+            or self.config.ba.refine_intrinsics_per_camera
+        ):
             # Run LAST so the recovered [f_scale, k1, k2] describes the
             # exported map: the sweep's pinhole-only solves would otherwise
             # drop k1/k2 and partially undo the refinement (advisor r2).
             from sfm_mvs_tpu.models import ba as ba_mod
 
-            state, ba_stats, intr = ba_mod.bundle_adjust_map_intrinsics(
-                state, max_iterations=ba_iterations
-            )
-            info["intrinsics"] = [float(x) for x in intr]
+            if self.config.ba.refine_intrinsics_per_camera:
+                state, ba_stats, intr = (
+                    ba_mod.bundle_adjust_map_percam_intrinsics(
+                        state, max_iterations=ba_iterations
+                    )
+                )
+                n = int(state.num_cams)
+                info["intrinsics_per_camera"] = [
+                    [float(x) for x in row] for row in np.asarray(intr[:n])
+                ]
+            else:
+                state, ba_stats, intr = ba_mod.bundle_adjust_map_intrinsics(
+                    state, max_iterations=ba_iterations
+                )
+                info["intrinsics"] = [float(x) for x in intr]
             info["final_cost"] = float(ba_stats.final_cost)
         if self.metrics is not None:
             self.metrics.log(event="finalize", **info)

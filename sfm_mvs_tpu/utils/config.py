@@ -137,6 +137,11 @@ class BaConfig:
     # checkpoint cells 3-7). Off by default: the reference pipeline
     # trusts its calibrated K (sfm.py:16).
     refine_intrinsics: bool = False
+    # Per-CAMERA (f, k1, k2) instead of one shared block — the notebook
+    # prototype's exact 9-param camera (checkpoint cells 3-7). Recovered
+    # intrinsics are reported in finalize_info (they cannot fold into the
+    # single shared K).
+    refine_intrinsics_per_camera: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -162,6 +162,181 @@ def render_splat_sequence(
     return images, scene
 
 
+def estimate_lookat_target(Rt: np.ndarray) -> np.ndarray:
+    """Least-squares point closest to every camera's optical axis."""
+    A = np.zeros((3, 3))
+    b = np.zeros(3)
+    for pose in np.asarray(Rt, np.float64):
+        R = pose[:, :3]
+        C = -R.T @ pose[:, 3]
+        d = R.T @ np.array([0.0, 0.0, 1.0])
+        P = np.eye(3) - np.outer(d, d)
+        A += P
+        b += P @ C
+    return np.linalg.solve(A, b)
+
+
+def make_texture3d(
+    size: int = 256, seed: int = 0, octaves: int = 6, decay: float = 1.0
+) -> np.ndarray:
+    """Multi-octave 3D value-noise volume in [0,1] (solid texture).
+
+    decay: per-octave amplitude factor. The classic fBm 0.5 leaves the
+    high-frequency octaves at ~3% contrast after normalization — too flat
+    for a DoG detector (measured: 25 features/frame at 968x648 vs ~900 at
+    decay 1.0). Flat spectra are right here: the texture's only job is to
+    carry dense, distinctive detail on the surface."""
+    rng = np.random.default_rng(seed)
+    tex = np.zeros((size, size, size), dtype=np.float32)
+    for o in range(octaves):
+        n = 4 << o
+        coarse = rng.random((n, n, n)).astype(np.float32)
+        idx = np.linspace(0, n - 1, size)
+        i0 = np.floor(idx).astype(int)
+        i1 = np.minimum(i0 + 1, n - 1)
+        f = (idx - i0).astype(np.float32)
+        # trilinear upsample, one axis at a time
+        up = coarse
+        for ax in range(3):
+            a0 = np.take(up, i0, axis=ax)
+            a1 = np.take(up, i1, axis=ax)
+            shape = [1, 1, 1]
+            shape[ax] = size
+            up = a0 + (a1 - a0) * f.reshape(shape)
+        tex += up * (decay ** o)
+    tex -= tex.min()
+    tex /= tex.max()
+    return tex
+
+
+def _tex3_sample(tex: np.ndarray, p: np.ndarray, scale: float) -> np.ndarray:
+    """Trilinear sample of the solid texture at world points p (..., 3)."""
+    n = tex.shape[0]
+    q = (p * scale) % (n - 1)
+    i0 = np.floor(q).astype(int)
+    f = (q - i0).astype(np.float32)
+    i1 = np.minimum(i0 + 1, n - 1)
+    c = 0.0
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                w = (
+                    (f[..., 0] if dx else 1 - f[..., 0])
+                    * (f[..., 1] if dy else 1 - f[..., 1])
+                    * (f[..., 2] if dz else 1 - f[..., 2])
+                )
+                c = c + w * tex[
+                    (i1 if dx else i0)[..., 0],
+                    (i1 if dy else i0)[..., 1],
+                    (i1 if dz else i0)[..., 2],
+                ]
+    return c
+
+
+def render_object_from_poses(
+    Rt: np.ndarray,
+    K: np.ndarray,
+    image_size=(968, 648),
+    target: "np.ndarray | None" = None,
+    seed: int = 0,
+    # World-units -> texture-voxel scale. At 32 the finest noise octave
+    # is ~0.06 world units (~8 px at the reference's depth/focal) and the
+    # 255-voxel volume spans the ~7.5-unit object without wrapping (the
+    # sample point is offset to keep coordinates strictly inside).
+    tex_scale: float = 32.0,
+    return_depth: bool = False,
+):
+    """Raytrace a solid-textured 3D "statue" from ARBITRARY camera poses.
+
+    The trajectory-replay harness (SURVEY §7 parity item 2): the Gustav
+    images are unshipped, so the closest achievable parity check renders
+    a synthetic scene FROM the reference's own recovered trajectory
+    (/root/reference/pose.csv — hand-held full-orbit dynamics: 360 deg of
+    azimuth, elevation to ~63 deg) and verifies the pipeline re-recovers
+    it. The object is a union of spheres (statue-ish silhouette) whose
+    surface carries multi-octave 3D value noise — occlusion-correct and
+    view-consistent from EVERY azimuth/elevation, unlike the staircase
+    strips (edge-on beyond ~+-85 deg) or a splat cloud (near-identical
+    blob descriptors fail the ratio test).
+
+    Rt: (C, 3, 4) world->camera; K: (3, 3); target defaults to the
+    least-squares closest point to all optical axes (where the statue
+    stood). Returns (images, sphere list [(center, radius)]).
+    """
+    Rt = np.asarray(Rt, np.float64)
+    K = np.asarray(K, np.float64)
+    if target is None:
+        target = estimate_lookat_target(Rt)
+    tex = make_texture3d(seed=seed)
+    # Snowman-ish union of spheres along the world-y axis through target.
+    spheres = [
+        (target + np.array([0.0, -1.6, 0.0]), 2.1),
+        (target + np.array([0.0, 0.8, 0.0]), 1.6),
+        (target + np.array([0.3, 2.3, 0.2]), 1.0),
+    ]
+    W, H = image_size
+    Kinv = np.linalg.inv(K)
+    u, v = np.meshgrid(
+        np.arange(W, dtype=np.float64), np.arange(H, dtype=np.float64)
+    )
+    pix = np.stack([u, v, np.ones_like(u)], axis=-1)
+    images, depths = [], []
+    for pose in Rt:
+        R = pose[:, :3]
+        t = pose[:, 3]
+        origin = -R.T @ t
+        dirs = (pix @ Kinv.T) @ R  # unnormalized: camera z of dir == 1
+        best_t = np.full((H, W), np.inf)
+        for c, r in spheres:
+            oc = origin - c
+            # |oc + t d|^2 = r^2 with a = |d|^2
+            a = np.sum(dirs * dirs, axis=-1)
+            b = 2.0 * (dirs @ oc)
+            cc = float(oc @ oc - r * r)
+            disc = b * b - 4.0 * a * cc
+            ok = disc > 0
+            sq = np.sqrt(np.maximum(disc, 0.0))
+            t0 = (-b - sq) / (2.0 * a)
+            t0 = np.where(ok & (t0 > 0.1), t0, np.inf)
+            best_t = np.minimum(best_t, t0)
+        hit = origin[None, None, :] + best_t[..., None] * dirs
+        hit_safe = np.where(np.isfinite(best_t[..., None]), hit, 0.0)
+        # Sample relative to target, offset positive so the volume never
+        # wraps on-object (extent ~[-3.7, 3.3] -> [0.3, 7.3] x 32 < 255).
+        val = np.where(
+            np.isfinite(best_t),
+            _tex3_sample(
+                tex, hit_safe - target[None, None, :] + 4.0, tex_scale
+            ),
+            0.12,
+        ).astype(np.float32)
+        images.append(val)
+        depths.append(
+            np.where(np.isfinite(best_t), best_t, 0.0).astype(np.float32)
+        )
+    if return_depth:
+        return images, spheres, depths
+    return images, spheres
+
+
+def load_reference_trajectory(pose_csv: str):
+    """Load the reference's pose.csv (K + C projection matrices, one value
+    per line — sfm.py:423) into (K (3,3), Rt (C, 3, 4) with orthonormal R).
+    """
+    vals = np.loadtxt(pose_csv)
+    K = vals[:9].reshape(3, 3)
+    Ps = vals[9:].reshape(-1, 3, 4)
+    Rts = np.linalg.inv(K) @ Ps
+    out = []
+    for Rt in Rts:
+        U, _, Vt = np.linalg.svd(Rt[:, :3])
+        R = U @ Vt
+        if np.linalg.det(R) < 0:
+            R = -R
+        out.append(np.concatenate([R, Rt[:, 3:4]], axis=1))
+    return K.astype(np.float32), np.stack(out).astype(np.float32)
+
+
 def render_staircase_sequence(
     num_cameras: int = 8,
     image_size=(320, 240),

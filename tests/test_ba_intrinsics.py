@@ -99,6 +99,82 @@ def test_identity_intrinsics_match_plain_projection():
     np.testing.assert_allclose(np.asarray(r), 0.0, atol=1e-3)
 
 
+def test_percam_intrinsics_recovers_distinct_cameras():
+    """The FULL notebook parameterization (VERDICT r4 missing-2): each
+    camera's own (f, k1, k2) differs and the 9-param-per-camera BA
+    recovers every block (camera 0 frozen at identity = gauge anchor)."""
+    prob6 = _make_problem((1.0, 0.0, 0.0), C=6)
+    C = 6
+    # Per-camera TRUE intrinsics: cam 0 identity, others distinct.
+    ds_true = np.array([0.0, 0.015, -0.02, 0.03, -0.01, 0.02], np.float32)
+    k1_true = np.array([0.0, -0.06, 0.04, -0.03, 0.05, -0.08], np.float32)
+    cam9_true = jnp.concatenate(
+        [
+            prob6.cam_params,
+            jnp.asarray(np.stack([ds_true, k1_true, np.zeros(C, np.float32)], 1)),
+        ],
+        axis=-1,
+    )
+    obs = ba._res_grid(
+        cam9_true, prob6.points, jnp.zeros_like(prob6.obs_uv), prob6.K
+    )
+    # Optimize from the pinhole start (zeros in the intr block).
+    cam9_0 = jnp.concatenate(
+        [prob6.cam_params, jnp.zeros((C, 3), jnp.float32)], axis=-1
+    )
+    prob = prob6._replace(cam_params=cam9_0, obs_uv=obs)
+    out, stats = ba.run_ba(prob, max_iterations=40, cg_iters=30)
+    assert float(stats.final_cost) < 1e-5
+    ds = np.asarray(out.cam_params[:, 6])
+    k1 = np.asarray(out.cam_params[:, 7])
+    np.testing.assert_allclose(ds[1:], ds_true[1:], atol=2e-3)
+    np.testing.assert_allclose(k1[1:], k1_true[1:], atol=5e-3)
+    # Frozen camera 0 untouched.
+    np.testing.assert_array_equal(np.asarray(out.cam_params[0]),
+                                  np.asarray(cam9_0[0]))
+
+
+def test_percam_intrinsics_map_convenience():
+    """bundle_adjust_map_percam_intrinsics: map in, per-camera (s, k1, k2)
+    out, poses written back, cost reduced on per-camera-distorted data."""
+    prob6 = _make_problem((1.0, 0.0, 0.0), C=6)
+    C = 6
+    ds_true = np.array([0.0, 0.02, -0.015, 0.025, -0.02, 0.01], np.float32)
+    cam9_true = jnp.concatenate(
+        [
+            prob6.cam_params,
+            jnp.asarray(
+                np.stack([ds_true, np.zeros(C, np.float32),
+                          np.zeros(C, np.float32)], 1)
+            ),
+        ],
+        axis=-1,
+    )
+    obs = ba._res_grid(
+        cam9_true, prob6.points, jnp.zeros_like(prob6.obs_uv), prob6.K
+    )
+    cfg = MapConfig(max_cameras=8, max_points=256)
+    state = map_store.init_map(prob6.K, cfg)
+    poses = lie.rt_to_matrix(prob6.cam_params[:, :3], prob6.cam_params[:, 3:])
+    for c in range(C):
+        state, _ = map_store.append_camera(state, poses[c])
+    state, pids = map_store.append_points(
+        state, prob6.points, jnp.zeros_like(prob6.points),
+        jnp.ones((256,), bool),
+    )
+    for c in range(C):
+        state = map_store.append_observations(
+            state, jnp.asarray(c), pids, obs[:, c, :], jnp.ones((256,), bool)
+        )
+    new_state, stats, intr = ba.bundle_adjust_map_percam_intrinsics(
+        state, max_iterations=40, cg_iters=30
+    )
+    assert intr.shape == (8, 3)
+    s = np.asarray(intr[:C, 0])
+    np.testing.assert_allclose(s[1:], 1.0 + ds_true[1:], atol=3e-3)
+    assert float(stats.final_cost) < 0.5 * float(stats.initial_cost)
+
+
 def test_map_convenience_folds_focal_into_K():
     intr_true = (1.03, 0.0, 0.0)
     prob = _make_problem(intr_true)

@@ -101,6 +101,32 @@ def test_distributed_ba_matches_single_device(rng, mesh8):
     )
 
 
+def test_windowed_ba_sharded_matches_single_device(rng, mesh8):
+    """bundle_adjust_window_sharded must reproduce the single-device
+    windowed solve (config-4 scale runs the windowed path sharded)."""
+    state, scene = _ba_state(rng)
+    single, s_stats = ba.bundle_adjust_window(
+        state, window_cams=4, window_points=512, max_iterations=6,
+        cg_iters=12, freeze_cams=1,
+    )
+    shard, d_stats = distributed_ba.bundle_adjust_window_sharded(
+        state, mesh8, window_cams=4, window_points=512, max_iterations=6,
+        cg_iters=12, freeze_cams=1,
+    )
+    assert float(s_stats.initial_cost) == pytest.approx(
+        float(d_stats.initial_cost), rel=1e-5
+    )
+    assert float(s_stats.final_cost) == pytest.approx(
+        float(d_stats.final_cost), rel=1e-2, abs=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(shard.poses), np.asarray(single.poses), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(shard.points), np.asarray(single.points), atol=1e-3
+    )
+
+
 def test_distributed_ba_converges(rng, mesh8):
     state, scene = _ba_state(rng)
     _, stats = distributed_ba.bundle_adjust_map_sharded(
