@@ -1,0 +1,121 @@
+"""Contention-free END-TO-END multi-process scaling (VERDICT r4 item 6).
+
+The r4 distributed evidence covered the BA kernel alone (86.4% at 2
+procs, SCALING_MULTIPROC.json); this harness times the FULL pipeline —
+sharded detection + (replicated) match/register + distributed windowed
+BA — on N processes pinned to disjoint physical cores, and reports
+frames/s efficiency vs the 1-process baseline (same per-worker core
+budget). Registration is inherently sequential (each frame's PnP needs
+the map the previous frame built), so the scalable fraction is
+detection + BA; the artifact reports the phase split so the Amdahl
+ceiling is auditable, plus result parity across process counts.
+
+Hard limit of this box: 2 physical cores -> at most 2 contention-free
+workers here; the harness runs unchanged on a bigger host.
+
+    python benchmarks/e2e_multiproc.py
+
+Writes artifacts/SCALING_E2E.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ART = os.path.join(ROOT, "artifacts")
+
+N_FRAMES = int(os.environ.get("E2E_FRAMES", "24"))
+W = int(os.environ.get("E2E_W", "480"))
+H = int(os.environ.get("E2E_H", "360"))
+PORT = 19713
+
+
+def run_config(nprocs: int, cores: list[int]):
+    procs = []
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    for pid in range(nprocs):
+        cmd = [
+            "taskset", "-c", str(cores[pid]),
+            sys.executable, os.path.join(ROOT, "benchmarks", "_e2e_worker.py"),
+            str(pid), str(nprocs), f"localhost:{PORT}",
+            str(N_FRAMES), str(W), str(H),
+        ]
+        procs.append(
+            subprocess.Popen(
+                cmd, cwd=ROOT, env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            )
+        )
+    outs = [p.communicate(timeout=3600) for p in procs]
+    for p, (o, e) in zip(procs, outs):
+        if p.returncode != 0:
+            raise RuntimeError(f"worker failed rc={p.returncode}:\n{e[-3000:]}")
+    line = [ln for ln in outs[0][0].splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main():
+    n_cores = os.cpu_count() or 1
+    counts = [n for n in (1, 2, 4) if n <= n_cores]
+    rows = []
+    for n in counts:
+        row = run_config(n, cores=list(range(n)))
+        rows.append(row)
+        print(json.dumps(row), file=sys.stderr)
+
+    result = {
+        "metric": "end_to_end_pipeline_contention_free_scaling",
+        "frames": N_FRAMES,
+        "resolution": [W, H],
+        "physical_cores": n_cores,
+        "rows": rows,
+        "method": (
+            "N processes via jax.distributed, 1 cpu device each, taskset "
+            "to disjoint cores; full pipeline per config: frame batch "
+            "sharded over the process mesh for detection, registration "
+            "replicated SPMD, per-frame windowed BA point-axis-sharded "
+            "(shard_map). Timed pass is the second full pass (warm "
+            "compiles)."
+        ),
+    }
+    if len(rows) > 1:
+        f1 = rows[0]["frames_per_s"]
+        for r in rows[1:]:
+            sp = r["frames_per_s"] / f1
+            r["speedup_vs_1proc"] = round(sp, 3)
+            r["efficiency"] = round(sp / r["nprocs"], 3)
+        # Amdahl decomposition from the 1-proc phase split: registration
+        # is the serial fraction, detect+BA the scalable one.
+        r1 = rows[0]
+        serial = r1["register_s"] / r1["total_s"]
+        result["serial_fraction_register"] = round(serial, 3)
+        result["amdahl_bound_2proc"] = round(
+            1.0 / (serial + (1.0 - serial) / 2.0) / 2.0, 3
+        )
+        result["parity_final_cost_match"] = all(
+            abs(r["final_ba_cost"] - rows[0]["final_ba_cost"])
+            <= 1e-3 * max(1.0, abs(rows[0]["final_ba_cost"]))
+            for r in rows[1:]
+        )
+        result["parity_cameras_match"] = all(
+            r["cameras"] == rows[0]["cameras"] for r in rows[1:]
+        )
+    if n_cores < 4:
+        result["four_worker_note"] = (
+            f"this box has {n_cores} physical cores; >=4 contention-free "
+            "workers cannot exist here — the harness scales to any core "
+            "budget unchanged"
+        )
+    os.makedirs(ART, exist_ok=True)
+    with open(os.path.join(ART, "SCALING_E2E.json"), "w") as fh:
+        json.dump(result, fh, indent=1)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -47,6 +47,10 @@ MAX_POINTS = int(os.environ.get("LARGE_MAX_POINTS", "131072"))
 # vs the unsharded artifact; wall time is NOT comparable to TPU runs.
 SHARDED = os.environ.get("LARGE_SHARDED", "0") == "1"
 N_DEVICES = int(os.environ.get("LARGE_DEVICES", "8"))
+# Attribution knobs (VERDICT r4 item 2, subtractive stubbing): disable
+# the interleaved stitch entirely, or stub single phases, to see which
+# term grows with frame count.
+STITCH_ON = os.environ.get("LARGE_STITCH", "1") == "1"
 SEGMENT = 25  # frames per timing/stitch segment
 BATCH = 32  # stitch pairs per dispatch
 STITCH_ITERS = int(os.environ.get("LARGE_STITCH_ITERS", "512"))
@@ -246,6 +250,14 @@ def main():
     )
     _d, _info = finalize_map(dummy, max_iterations=15)
     jax.block_until_ready(pstate.map.points)
+    if SHARDED:
+        # Lay the map out point-axis-sharded before the timed loop: the
+        # registration/stitch programs then run GSPMD-partitioned over
+        # the sharded observation grid, and the shard_map BA kernels
+        # consume the same layout without resharding.
+        from sfm_mvs_tpu.parallel.mesh import shard_map_state
+
+        pstate = pstate._replace(map=shard_map_state(pstate.map, mesh))
     print(f"compile+bootstrap {time.time()-t0:.1f}s", file=sys.stderr)
 
     # ---- Timed region: registration + interleaved stitching. ----
@@ -340,15 +352,24 @@ def main():
         if (i - 1) % SEGMENT == 0 or i == N_FRAMES - 1:
             jax.block_until_ready(pstate.map.points)
             now = time.time()
-            segments.append(
-                {"through_frame": i, "fps": round(SEGMENT / max(now - seg_t, 1e-9), 2)}
-            )
+            seg = {
+                "through_frame": i,
+                "fps": round(SEGMENT / max(now - seg_t, 1e-9), 2),
+                # detect+register+window-BA pipeline wall of this segment
+                # (frames dispatch without per-frame syncs).
+                "body_s": round(now - seg_t, 2),
+            }
             # Interleaved stitch (frame i == camera i checked here: the
             # sequential driver appends one camera per accepted frame).
-            if int(pstate.map.num_cams) == i + 1:
+            if STITCH_ON and int(pstate.map.num_cams) == i + 1:
+                t_st = time.time()
                 state, np_seg, skey = stitch_segment(pstate.map, i, skey)
                 pstate = pstate._replace(map=state)
                 n_pairs_total += np_seg
+                jax.block_until_ready(pstate.map.points)
+                seg["stitch_s"] = round(time.time() - t_st, 2)
+                seg["stitch_pairs"] = np_seg
+            segments.append(seg)
             seg_t = time.time()
     jax.block_until_ready(pstate.map.points)
     reg_wall = time.time() - t0
@@ -378,9 +399,14 @@ def main():
 
     robust_costs = []
     for rnd in range(2):
-        state, stats = ba.bundle_adjust_map(
-            state, max_iterations=40, cg_iters=30, huber_delta=3.0,
-        )
+        if SHARDED:
+            state, stats = distributed_ba.bundle_adjust_map_sharded(
+                state, mesh, max_iterations=40, cg_iters=30, huber_delta=3.0,
+            )
+        else:
+            state, stats = ba.bundle_adjust_map(
+                state, max_iterations=40, cg_iters=30, huber_delta=3.0,
+            )
         # Re-apply cached candidates on the straightened geometry: the
         # loose gate admits matches the pre-BA bend pushed outside it.
         for cand in cand_cache:
@@ -409,6 +435,11 @@ def main():
     path_len = float(np.sum(np.linalg.norm(np.diff(gt_c, axis=0), axis=1)))
     result = {
         "metric": "large_scene_sfm",
+        "sharded": (
+            f"{N_DEVICES}-device point-axis-sharded map "
+            "(windowed BA + finalize BA via shard_map; registration/"
+            "stitch GSPMD-partitioned)" if SHARDED else False
+        ),
         "frames": N_FRAMES,
         "arc_degrees": round(arc, 1),
         "resolution": [W, H],
@@ -458,12 +489,13 @@ def main():
     # Canonical artifact only for a SUCCESSFUL run of the default
     # 250-frame configuration; probe runs (other sizes) and failed runs
     # get suffixed names and never clobber it.
+    tag = "_SHARDED" if SHARDED else ""
     if n_cams != N_FRAMES:
-        name = f"LARGE_SCENE_r04_FAILED_{N_FRAMES}.json"
-    elif N_FRAMES == 250:
-        name = "LARGE_SCENE_r04.json"
+        name = f"LARGE_SCENE_r05_FAILED{tag}_{N_FRAMES}.json"
+    elif N_FRAMES == 250 and not SHARDED:
+        name = "LARGE_SCENE_r05.json"
     else:
-        name = f"LARGE_SCENE_r04_{N_FRAMES}.json"
+        name = f"LARGE_SCENE_r05{tag}_{N_FRAMES}.json"
     with open(
         os.path.join(os.path.dirname(__file__), "..", "artifacts", name), "w"
     ) as fh:

@@ -82,6 +82,9 @@ def main():
     sfm = IncrementalSfM(cfg)
     state = sfm.run(imgs)
     reg_wall = time.time() - t0
+    for s in sfm.stats:
+        if (not s.get("accepted")) or s.get("pnp_inliers", 1 << 30) < 80:
+            print(f"weak frame: {s}", file=sys.stderr)
     t0 = time.time()
     state = sfm.finalize()
     fin_wall = time.time() - t0
@@ -89,14 +92,21 @@ def main():
     cam_valid = np.asarray(state.cam_valid)
     n_cams = int(cam_valid.sum())
     poses = np.asarray(state.poses)[cam_valid]
-    ate = (
-        evaluate.ate_rmse(poses, Rt_ref[:n_cams]) if n_cams == n else float("nan")
-    )
-    rot = (
-        evaluate.rotation_errors_deg(poses, Rt_ref[:n_cams])
-        if n_cams == n
-        else np.array([np.nan])
-    )
+    # Camera k corresponds to the k-th ACCEPTED frame (the rejection
+    # guard skips a frame without appending a camera) — align the GT
+    # subset accordingly so a rejected frame degrades coverage, not the
+    # ATE bookkeeping.
+    accepted_frames = [0, 1] + [
+        s["frame"] for s in sfm.stats[1:] if s.get("accepted")
+    ]
+    rejected_frames = [
+        s["frame"] for s in sfm.stats if not s.get("accepted")
+    ]
+    if rejected_frames:
+        print(f"rejected frames: {rejected_frames}", file=sys.stderr)
+    gt_sub = Rt_ref[accepted_frames[:n_cams]]
+    ate = evaluate.ate_rmse(poses, gt_sub)
+    rot = evaluate.rotation_errors_deg(poses, gt_sub)
     gt_c = evaluate.camera_centers(Rt_ref)
     path_len = float(np.sum(np.linalg.norm(np.diff(gt_c, axis=0), axis=1)))
     accepted = [s for s in sfm.stats if s.get("accepted")]
@@ -110,6 +120,7 @@ def main():
             "orbit, elevation to ~63 deg, hand-held step jitter"
         ),
         "cameras_registered": n_cams,
+        "rejected_frames": rejected_frames,
         "ate": round(float(ate), 5),
         "ate_pct_of_path": round(100.0 * float(ate) / path_len, 4),
         "gt_path_length": round(path_len, 2),

@@ -380,7 +380,9 @@ def backproject_depth(
     return Xw.reshape(-1, 3), c.reshape(-1, 3), v.reshape(-1)
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=(
+    "fuse_depths", "edge_trim_rel", "edge_trim_radius"
+))
 def geometric_consistency(
     dm_ref: DepthMap,
     pose_ref: jnp.ndarray,
@@ -391,14 +393,30 @@ def geometric_consistency(
     min_consistent: int = 1,
     dist: Optional[jnp.ndarray] = None,
     nbr_valid: Optional[jnp.ndarray] = None,
+    fuse_depths: bool = True,
+    edge_trim_rel: float = 0.0,
+    edge_trim_radius: int = 2,
 ) -> DepthMap:
-    """Cross-view depth-consistency filter.
+    """Cross-view depth-consistency filter (+ multi-view depth fusion).
 
     Back-projects each reference pixel with its estimated depth, projects
     the 3D point into every neighbor, samples the neighbor's depth map
     there, and keeps the pixel only if >= `min_consistent` neighbors agree
     within `rel_tol` relative depth — the standard MVS fusion check that
     removes photometric-only leaks (textureless/occluded regions).
+
+    fuse_depths: surviving depths are replaced by the MEAN of the ref
+    depth and every agreeing neighbor's implied depth (the neighbor's
+    surface point at the projection, back-projected into the ref camera)
+    — COLMAP-style multi-view fusion that cuts per-pixel noise ~sqrt(#
+    agreeing views) at zero extra gathers (reuses the sampled depths).
+
+    edge_trim_rel > 0: additionally invalidates pixels whose local depth
+    spread (max-min over a (2*radius+1)^2 window) exceeds
+    `edge_trim_rel * depth` — depth-DISCONTINUITY bands, where coarse
+    cost-window fattening produces view-CONSISTENT but wrong depths that
+    the agreement vote cannot catch (the dominant term of the r4 error
+    tail: rel-RMS 3.0% vs median 0.5%).
     """
     H, W = dm_ref.depth.shape
     ys, xs = jnp.meshgrid(
@@ -422,17 +440,20 @@ def geometric_consistency(
         tn = nbr_pose[:, 3]
         Xn = Xw @ Rn.T + tn  # neighbor camera frame
         z = Xn[..., 2]
+        zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+        xn = Xn[..., 0] / zs
+        yn = Xn[..., 1] / zs
         if dist is not None:
             from sfm_mvs_tpu.ops import projection as proj
 
-            zn = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
-            xy_d = proj.distort_normalized(Xn[..., :2] / zn[..., None], dist)
+            xy_d = proj.distort_normalized(
+                jnp.stack([xn, yn], axis=-1), dist
+            )
             u = xy_d[..., 0] * K[0, 0] + K[0, 2]
             v = xy_d[..., 1] * K[1, 1] + K[1, 2]
         else:
-            uv = (Xn @ K.T)
-            u = uv[..., 0] / jnp.where(jnp.abs(uv[..., 2]) < 1e-9, 1e-9, uv[..., 2])
-            v = uv[..., 1] / jnp.where(jnp.abs(uv[..., 2]) < 1e-9, 1e-9, uv[..., 2])
+            u = xn * K[0, 0] + K[0, 2]
+            v = yn * K[1, 1] + K[1, 2]
         sampled, inside = _bilinear_sample(nbr_depth, u.reshape(-1), v.reshape(-1))
         sampled = sampled.reshape(H, W)
         inside = inside.reshape(H, W)
@@ -441,16 +462,37 @@ def geometric_consistency(
             & (z > 0)
             & (jnp.abs(sampled - z) < rel_tol * jnp.maximum(z, 1e-6))
         )
-        return agree
+        # Implied REF depth from this neighbor: the neighbor's surface
+        # point lies along OUR viewing ray (both cameras see the same
+        # surface when consistent), so scaling our depth by sampled/z
+        # is exactly the depth at which our ray meets the neighbor's
+        # surface — no extra gathers, pure elementwise.
+        z_implied = dm_ref.depth * (sampled / jnp.maximum(z, 1e-6))
+        return agree, z_implied
 
-    agrees = jax.vmap(check_one)(dm_nbrs_depth, nbr_poses)  # (M, H, W)
+    agrees, z_imp = jax.vmap(check_one)(dm_nbrs_depth, nbr_poses)  # (M, H, W)
     if nbr_valid is not None:
         # Padded neighbor slots (batched fusion pads every ref's neighbor
         # list to a fixed M) must not vote.
         agrees = agrees & nbr_valid[:, None, None]
     n_agree = jnp.sum(agrees.astype(jnp.int32), axis=0)
     valid = dm_ref.valid & (n_agree >= min_consistent)
-    return DepthMap(depth=dm_ref.depth, confidence=dm_ref.confidence, valid=valid)
+    depth = dm_ref.depth
+    if fuse_depths:
+        af = agrees.astype(depth.dtype)
+        fused = (depth + jnp.sum(z_imp * af, axis=0)) / (
+            1.0 + n_agree.astype(depth.dtype)
+        )
+        depth = jnp.where(valid, fused, depth)
+    if edge_trim_rel > 0.0:
+        dmax = depth
+        dmin = depth
+        for _ in range(edge_trim_radius):
+            dmax = _pool3(dmax, jax.lax.max)
+            dmin = _pool3(dmin, jax.lax.min)
+        edge = (dmax - dmin) > edge_trim_rel * jnp.maximum(depth, 1e-6)
+        valid = valid & ~edge
+    return DepthMap(depth=depth, confidence=dm_ref.confidence, valid=valid)
 
 
 # Batched fusion: geometric consistency + back-projection for a chunk of
@@ -458,11 +500,14 @@ def geometric_consistency(
 # 3 device->host transfers PER FRAME through the high-latency tunnel
 # (~57 round trips dominated the MVS wall after the sweep was optimized);
 # here the chunk's points/colors/valid come back in one transfer.
-@partial(jax.jit, static_argnames=("stride", "geometric_check"))
+@partial(jax.jit, static_argnames=(
+    "stride", "geometric_check", "fuse_depths", "edge_trim_rel",
+))
 def _fuse_batch(
     depth_b, conf_b, valid_b, pose_b, nbr_depth_b, nbr_pose_b,
     nbr_valid_b, min_cons_b, K, color_b, rel_tol,
     stride: int = 2, geometric_check: bool = True, dist=None,
+    fuse_depths: bool = True, edge_trim_rel: float = 0.0,
 ):
     def one(d, c, v, pose, nd, npo, nv, mc, color):
         dm = DepthMap(depth=d, confidence=c, valid=v)
@@ -470,7 +515,8 @@ def _fuse_batch(
             dm = geometric_consistency.__wrapped__(
                 dm, pose, nd, npo, K,
                 rel_tol=rel_tol, min_consistent=mc, dist=dist,
-                nbr_valid=nv,
+                nbr_valid=nv, fuse_depths=fuse_depths,
+                edge_trim_rel=edge_trim_rel,
             )
         pts, cols, ok = backproject_depth(
             dm, pose, K, color, stride=stride, dist=dist
@@ -535,6 +581,14 @@ def densify_map(
     # to pass a single-neighbor check).
     geo_rel_tol: float = 0.015,
     geo_min_consistent: int = 2,
+    # Multi-view depth averaging over the agreeing neighbors (noise
+    # ~sqrt(#views) cheaper) and depth-discontinuity trimming: the r4
+    # tail (rel-RMS 3.0% vs median 0.5%) was dominated by
+    # view-consistent fattening bands at depth edges that the agreement
+    # vote cannot reject; trimming pixels whose 5x5 local depth spread
+    # exceeds 6% removes them at a few-% coverage cost.
+    fuse_depths: bool = True,
+    edge_trim_rel: float = 0.06,
     batch: int = 4,
     mesh=None,
     return_depth_maps: bool = False,
@@ -673,6 +727,7 @@ def densify_map(
             jnp.stack([colors_dev[r] for r in chunk_p]),
             jnp.asarray(geo_rel_tol),
             stride=stride, geometric_check=geometric_check, dist=dist,
+            fuse_depths=fuse_depths, edge_trim_rel=float(edge_trim_rel),
         )
         chunk_results.append((chunk, out))
     if profile:

@@ -14,7 +14,7 @@ verified in tests — while the O(P*C) work scales with device count.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 from jax.sharding import Mesh, PartitionSpec as P
@@ -35,18 +35,18 @@ def _specs(mesh: Mesh, axis: str):
     )
 
 
-def run_ba_sharded(
-    prob: BAProblem,
-    mesh: Mesh,
-    axis: str = "data",
-    max_iterations: int = 20,
-    cg_iters: int = 20,
-    damping_init: float = 1e-3,
-) -> tuple[BAProblem, BAStats]:
-    """LM bundle adjustment with point blocks sharded over `axis`.
+@lru_cache(maxsize=None)
+def _sharded_runner(
+    mesh: Mesh, axis: str, max_iterations: int, cg_iters: int,
+    damping_init: float, huber_delta: float,
+):
+    """Build (once per config) the jitted shard_map BA runner.
 
-    Requires max_points divisible by the axis size (capacities are powers
-    of two, so any power-of-two mesh works).
+    Building the shard_map + jit closure inside every call created a
+    fresh Python callable each time — a jit cache miss, i.e. a full
+    RECOMPILE per invocation (caught in round 5 when the per-frame
+    sharded windowed BA recompiled every frame). Mesh is hashable, so
+    the compiled runner caches on (mesh, axis, solver params).
     """
     in_specs = _specs(mesh, axis)
     out_specs = (in_specs, BAStats(P(), P(), P(), P()))
@@ -61,10 +61,30 @@ def run_ba_sharded(
             max_iterations=max_iterations,
             cg_iters=cg_iters,
             damping_init=damping_init,
+            huber_delta=huber_delta,
             axis_name=axis,
         )
 
-    return jax.jit(_run)(prob)
+    return jax.jit(_run)
+
+
+def run_ba_sharded(
+    prob: BAProblem,
+    mesh: Mesh,
+    axis: str = "data",
+    max_iterations: int = 20,
+    cg_iters: int = 20,
+    damping_init: float = 1e-3,
+    huber_delta: float = 0.0,
+) -> tuple[BAProblem, BAStats]:
+    """LM bundle adjustment with point blocks sharded over `axis`.
+
+    Requires max_points divisible by the axis size (capacities are powers
+    of two, so any power-of-two mesh works).
+    """
+    return _sharded_runner(
+        mesh, axis, max_iterations, cg_iters, damping_init, huber_delta
+    )(prob)
 
 
 def bundle_adjust_window_sharded(
@@ -125,20 +145,9 @@ def bundle_adjust_window_sharded(
         frozen=frozen,
         intr=prob_intr(points_w.dtype),
     )
-    in_specs = _specs(mesh, axis)
-    out_specs = (in_specs, BAStats(P(), P(), P(), P()))
-
-    @partial(
-        shard_map, mesh=mesh, in_specs=(in_specs,), out_specs=out_specs,
-        check_vma=False,
-    )
-    def _run(p: BAProblem):
-        return ba.run_ba(
-            p, max_iterations=max_iterations, cg_iters=cg_iters,
-            huber_delta=huber_delta, axis_name=axis,
-        )
-
-    prob, stats = jax.jit(_run)(prob)
+    prob, stats = _sharded_runner(
+        mesh, axis, max_iterations, cg_iters, 1e-3, huber_delta
+    )(prob)
 
     poses_new = lie.rt_to_matrix(prob.cam_params[:, :3], prob.cam_params[:, 3:6])
     poses_new = jnp.where(frozen[:, None, None], poses_w, poses_new)
@@ -162,10 +171,12 @@ def bundle_adjust_map_sharded(
     max_iterations: int = 20,
     cg_iters: int = 20,
     frozen_first: int = 1,
+    huber_delta: float = 0.0,
 ) -> tuple[MapState, BAStats]:
     """map -> distributed BA -> map."""
     prob = ba.problem_from_map(state, frozen_first=frozen_first)
     prob, stats = run_ba_sharded(
-        prob, mesh, axis=axis, max_iterations=max_iterations, cg_iters=cg_iters
+        prob, mesh, axis=axis, max_iterations=max_iterations,
+        cg_iters=cg_iters, huber_delta=huber_delta,
     )
     return ba.write_back_to_map(state, prob), stats
