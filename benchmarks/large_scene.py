@@ -18,7 +18,7 @@ robust BA -> compact -> polish. The artifact reports TOTAL wall
     python benchmarks/large_scene.py            # 250 frames, 480x360
     LARGE_FRAMES=120 python benchmarks/large_scene.py
 
-Writes artifacts/LARGE_SCENE_r04.json and prints a JSON summary line.
+Writes artifacts/LARGE_SCENE_r05.json and prints a JSON summary line.
 """
 
 from __future__ import annotations

@@ -14,7 +14,7 @@ Umeyama alignment of camera centers.
     python benchmarks/mvs_full.py          # 57 frames @ 968x648
     MVS_SMALL=1 python benchmarks/mvs_full.py   # 20 frames @ 320x240 smoke
 
-Writes artifacts/MVS_r04.json and artifacts/dense.ply.
+Writes artifacts/MVS_r05.json and artifacts/dense.ply.
 """
 
 from __future__ import annotations
@@ -186,7 +186,7 @@ def main():
         "sfm_wall_s": round(sfm_wall, 1),
         "reference_slot": "sfm.py:298 densify=False — declared, never implemented",
     }
-    with open(os.path.join(ART, "MVS_r04.json"), "w") as fh:
+    with open(os.path.join(ART, "MVS_r05.json"), "w") as fh:
         json.dump(result, fh, indent=1)
     print(json.dumps(result))
 

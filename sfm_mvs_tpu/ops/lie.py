@@ -8,6 +8,7 @@ safe, unlike the C++ routine it replaces.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 _EPS = 1e-8
@@ -53,9 +54,18 @@ def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
 def so3_log(R: jnp.ndarray) -> jnp.ndarray:
     """Rotation matrix -> axis-angle vector. R: (..., 3, 3) -> (..., 3).
 
-    Valid for theta in [0, pi). Near theta=pi the antisymmetric-part formula
-    degrades; the pipeline never produces frame-to-frame rotations that
-    large, and BA parameterizes increments (always small).
+    Valid on ALL of SO(3), including theta = pi. The antisymmetric-part
+    formula (w = vee(R - R^T)/2 = sin(theta) * axis) collapses as
+    sin(theta) -> 0 at theta = pi, where theta/sin(theta) amplifies f32
+    noise unboundedly (round-5 field failure: a full-orbit camera at
+    azimuth ~180 deg produced rvec norms of ~240 and the PnP polish
+    diverged from a perfect pose — the replay-vs-pose.csv scene is
+    exactly the geometry the docstring previously claimed "the pipeline
+    never produces"). Near pi the axis comes from the SYMMETRIC part
+    instead: R + I -> 2 n n^T as theta -> pi, so the largest column of
+    R + I is the axis; the sign is aligned with the antisymmetric part
+    while it is still meaningful (and is irrelevant AT pi, where +/- n
+    give the same rotation).
     """
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
@@ -69,7 +79,23 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
         1.0 + theta * theta / 6.0,
         theta / jnp.where(small, jnp.ones_like(sin_theta), sin_theta + _EPS),
     )
-    return w * scale[..., None]
+    v_std = w * scale[..., None]
+
+    # theta ~ pi: axis^2 from the dominant column of S = R + I (~ 2nn^T).
+    S = R + jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), R.shape)
+    col_norm2 = jnp.sum(S * S, axis=-2)  # (..., 3)
+    j = jnp.argmax(col_norm2, axis=-1)
+    onehot = jax.nn.one_hot(j, 3, dtype=R.dtype)  # (..., 3)
+    n = jnp.sum(S * onehot[..., None, :], axis=-1)  # column j of S
+    n = n / jnp.maximum(
+        jnp.linalg.norm(n, axis=-1, keepdims=True), _EPS
+    )
+    # Align with the antisymmetric part where it still carries sign info.
+    sgn = jnp.where(jnp.sum(n * w, axis=-1) < 0.0, -1.0, 1.0)
+    v_pi = theta[..., None] * n * sgn[..., None]
+
+    near_pi = theta > (jnp.pi - 1e-2)
+    return jnp.where(near_pi[..., None], v_pi, v_std)
 
 
 def rt_to_matrix(rvec: jnp.ndarray, tvec: jnp.ndarray) -> jnp.ndarray:

@@ -31,6 +31,29 @@ def test_log_roundtrip(rng):
         np.testing.assert_allclose(w2, w, atol=1e-4)
 
 
+def test_log_near_and_at_pi(rng):
+    """theta ~ pi round trip (round-5 regression: the antisymmetric-part
+    formula collapsed there — a full-orbit camera at azimuth ~180 deg got
+    rvec norms ~240 and the PnP polish diverged from a perfect pose)."""
+    for th in [np.pi - 0.05, np.pi - 1e-3, np.pi - 1e-6, np.pi]:
+        for _ in range(20):
+            ax = rng.normal(size=3)
+            ax /= np.linalg.norm(ax)
+            w = jnp.asarray(ax * th, jnp.float32)
+            R = lie.so3_exp(w)
+            w2 = lie.so3_log(R)
+            # rvec magnitude must stay bounded by pi (mod the +-n at-pi
+            # ambiguity) and the ROTATION must round-trip.
+            assert float(jnp.linalg.norm(w2)) < np.pi + 1e-3
+            R2 = lie.so3_exp(w2)
+            np.testing.assert_allclose(
+                np.asarray(R2), np.asarray(R), atol=2e-3
+            )
+            # cv2 oracle agrees on the rotation (not the sign of n at pi).
+            R_cv, _ = cv2.Rodrigues(np.asarray(w2, np.float64))
+            np.testing.assert_allclose(np.asarray(R2), R_cv, atol=2e-3)
+
+
 def test_exp_is_rotation(rng):
     w = jnp.asarray(rng.normal(size=(32, 3)).astype(np.float32))
     R = np.asarray(lie.so3_exp(w))
