@@ -95,10 +95,15 @@ def main() -> int:
         bgr_host.shape, NamedSharding(mesh, Pp()), lambda i: bgr_host[i]
     )
 
-    def window_ba(state):
-        state, stats = distributed_ba.bundle_adjust_window_sharded(
-            state, mesh, window_cams=16, window_points=8192,
-            freeze_cams=4, max_iterations=4, cg_iters=10,
+    def frame_ba(state):
+        # Per-frame GLOBAL BA over the full (16384, 64) grid — the
+        # canonical bench recipe (bench.py) and the distributed-BA
+        # regime the design targets: enough per-iteration compute that
+        # the psum'd camera system is a small fraction (the first cut
+        # used an (8192, 16) window whose per-iteration work was smaller
+        # than the collective+reshard overhead: 0.495 efficiency).
+        state, stats = distributed_ba.bundle_adjust_map_sharded(
+            state, mesh, max_iterations=4, cg_iters=12,
         )
         return state, stats
 
@@ -133,7 +138,7 @@ def main() -> int:
             jax.block_until_ready(pstate.map.points)
             t_reg += time.time() - ti
             ti = time.time()
-            mstate, stats = window_ba(pstate.map)
+            mstate, stats = frame_ba(pstate.map)
             pstate = pstate._replace(map=mstate)
             jax.block_until_ready(pstate.map.points)
             t_ba += time.time() - ti

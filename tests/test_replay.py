@@ -21,10 +21,28 @@ from sfm_mvs_tpu.utils.synthetic import (
 )
 
 POSE_CSV = "/root/reference/pose.csv"
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 pytestmark = pytest.mark.skipif(
     not os.path.exists(POSE_CSV), reason="reference pose.csv not present"
 )
+
+
+def test_replay_artifact_meets_parity_bounds():
+    """The committed replay artifact must show full-coverage recovery of
+    the reference's own trajectory within the quality-matrix bounds
+    (SURVEY §7 parity item 2; regenerate with
+    benchmarks/replay_reference.py on TPU)."""
+    import json
+
+    path = os.path.join(ROOT, "artifacts", "REPLAY_POSECSV.json")
+    assert os.path.exists(path), "run benchmarks/replay_reference.py"
+    with open(path) as fh:
+        d = json.load(fh)
+    assert d["cameras_registered"] == d["frames"] == 57
+    assert d["rejected_frames"] == []
+    assert d["ate_pct_of_path"] < 0.15  # quality-matrix bound (realtex)
+    assert d["max_rotation_error_deg"] < 0.4  # quality-matrix rot bound
 
 
 def test_load_reference_trajectory():
