@@ -86,8 +86,30 @@ def main():
 
     if os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-    if SHARDED:
+    # Sharded execution modes:
+    #   in-process virtual mesh (LARGE_DEVICES devices) — fine for small
+    #     probes, but XLA-CPU's IN-process collective rendezvous
+    #     deadlocks under this workload's long per-device programs on a
+    #     2-core box (device threads share one pool; observed 600 s+
+    #     stalls at an all-gather regardless of timeouts);
+    #   multi-PROCESS via jax.distributed (LARGE_PROC_ID/LARGE_NPROCS/
+    #     LARGE_COORD env, one device per process, launched by
+    #     e.g. `taskset -c N python benchmarks/large_scene.py`) — the
+    #     cross-process collective path, proven by SCALING_MULTIPROC /
+    #     SCALING_E2E. Host logic runs replicated; process 0 writes the
+    #     artifact.
+    PID = int(os.environ.get("LARGE_PROC_ID", "-1"))
+    if SHARDED and PID >= 0:
+        jax.config.update("jax_num_cpu_devices", 1)
+        from sfm_mvs_tpu.parallel import multihost
+
+        ok = multihost.initialize(
+            os.environ["LARGE_COORD"], int(os.environ["LARGE_NPROCS"]), PID
+        )
+        assert ok
+    elif SHARDED:
         jax.config.update("jax_num_cpu_devices", N_DEVICES)
+    is_main = PID <= 0
     import dataclasses
 
     import jax.numpy as jnp
@@ -147,9 +169,15 @@ def main():
     if SHARDED:
         from sfm_mvs_tpu.parallel import distributed_ba, mesh as meshlib
 
-        mesh = meshlib.make_mesh((N_DEVICES,), ("data",))
-        print(f"sharded mode: {N_DEVICES}-device mesh, point axis sharded",
-              file=sys.stderr)
+        n_dev = len(jax.devices())
+        mesh = meshlib.make_mesh((n_dev,), ("data",))
+        if is_main:
+            print(
+                f"sharded mode: {n_dev}-device mesh "
+                f"({'multi-process' if PID >= 0 else 'in-process'}), "
+                "point axis sharded",
+                file=sys.stderr,
+            )
 
     def window_ba(state):
         # 24 active cams + 8 frozen ANCHOR cams: observations in the
@@ -250,11 +278,13 @@ def main():
     )
     _d, _info = finalize_map(dummy, max_iterations=15)
     jax.block_until_ready(pstate.map.points)
-    if SHARDED:
+    if SHARDED and PID < 0:
         # Lay the map out point-axis-sharded before the timed loop: the
         # registration/stitch programs then run GSPMD-partitioned over
         # the sharded observation grid, and the shard_map BA kernels
-        # consume the same layout without resharding.
+        # consume the same layout without resharding. (Multi-process
+        # mode keeps host state replicated; the shard_map BAs distribute
+        # the grid internally.)
         from sfm_mvs_tpu.parallel.mesh import shard_map_state
 
         pstate = pstate._replace(map=shard_map_state(pstate.map, mesh))
@@ -337,6 +367,13 @@ def main():
         )
         if i % BA_CADENCE == 0:
             pstate = pstate._replace(map=window_ba(pstate.map))
+        if SHARDED:
+            # Bound cross-device program skew: XLA-CPU's collective
+            # rendezvous terminates at 40 s (tunable via XLA_FLAGS
+            # --xla_cpu_collective_call_terminate_timeout_seconds); on an
+            # oversubscribed virtual mesh an unsynced 25-frame dispatch
+            # pipeline lets device queues drift far past it.
+            jax.block_until_ready(pstate.map.points)
         feats_kept[i] = f
         tracks_kept[i] = pstate.prev_track
         if KEY > 1:
@@ -436,9 +473,11 @@ def main():
     result = {
         "metric": "large_scene_sfm",
         "sharded": (
-            f"{N_DEVICES}-device point-axis-sharded map "
-            "(windowed BA + finalize BA via shard_map; registration/"
-            "stitch GSPMD-partitioned)" if SHARDED else False
+            f"{int(np.prod(mesh.devices.shape))}-device point-axis-sharded "
+            "map (windowed BA + finalize BA via shard_map"
+            + (", jax.distributed processes" if PID >= 0 else
+               "; registration/stitch GSPMD-partitioned")
+            + ")" if SHARDED else False
         ),
         "frames": N_FRAMES,
         "arc_degrees": round(arc, 1),
@@ -496,11 +535,12 @@ def main():
         name = "LARGE_SCENE_r05.json"
     else:
         name = f"LARGE_SCENE_r05{tag}_{N_FRAMES}.json"
-    with open(
-        os.path.join(os.path.dirname(__file__), "..", "artifacts", name), "w"
-    ) as fh:
-        json.dump(result, fh, indent=1)
-    print(json.dumps(result))
+    if is_main:
+        with open(
+            os.path.join(os.path.dirname(__file__), "..", "artifacts", name), "w"
+        ) as fh:
+            json.dump(result, fh, indent=1)
+        print(json.dumps(result))
 
 
 if __name__ == "__main__":

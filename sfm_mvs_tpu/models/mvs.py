@@ -381,7 +381,8 @@ def backproject_depth(
 
 
 @partial(jax.jit, static_argnames=(
-    "fuse_depths", "edge_trim_rel", "edge_trim_radius"
+    "fuse_depths", "edge_trim_rel", "edge_trim_radius", "free_space_rel",
+    "edge_keep_conf",
 ))
 def geometric_consistency(
     dm_ref: DepthMap,
@@ -396,6 +397,8 @@ def geometric_consistency(
     fuse_depths: bool = True,
     edge_trim_rel: float = 0.0,
     edge_trim_radius: int = 2,
+    free_space_rel: float = 0.05,
+    edge_keep_conf: float = 0.75,
 ) -> DepthMap:
     """Cross-view depth-consistency filter (+ multi-view depth fusion).
 
@@ -417,6 +420,19 @@ def geometric_consistency(
     cost-window fattening produces view-CONSISTENT but wrong depths that
     the agreement vote cannot catch (the dominant term of the r4 error
     tail: rel-RMS 3.0% vs median 0.5%).
+
+    free_space_rel > 0: FREE-SPACE VIOLATION veto — if any neighbor's
+    depth map at the projection claims the surface lies MORE THAN
+    `free_space_rel` (relative) BEHIND our 3D point, that neighbor sees
+    through the point's supposed location and the pixel is dropped. This
+    is the fusion constraint that kills foreground-fattened plateau
+    pixels: they float in front of the true surface near depth edges,
+    are locally smooth (edge trim misses the plateau interior) and can
+    collect 2 agreeing fattened neighbors — but any non-fattened
+    neighbor sees the background straight through them (measured r5:
+    0.8% of pixels at >=10% error, median 2 px from a GT depth edge,
+    carried ~1.8 points of the 2.8% rel-RMS). A NEARER surface in the
+    neighbor (sampled < z) is ordinary occlusion, not a violation.
     """
     H, W = dm_ref.depth.shape
     ys, xs = jnp.meshgrid(
@@ -454,7 +470,11 @@ def geometric_consistency(
         else:
             u = xn * K[0, 0] + K[0, 2]
             v = yn * K[1, 1] + K[1, 2]
-        sampled, inside = _bilinear_sample(nbr_depth, u.reshape(-1), v.reshape(-1))
+        # NEAREST depth lookup: bilinear blends across the neighbor's
+        # own depth discontinuities, producing mid-air values that
+        # neither agree nor violate cleanly (fails correct edge pixels,
+        # misses fattened ones).
+        sampled, inside = _nearest_sample(nbr_depth, u.reshape(-1), v.reshape(-1))
         sampled = sampled.reshape(H, W)
         inside = inside.reshape(H, W)
         agree = (
@@ -462,21 +482,31 @@ def geometric_consistency(
             & (z > 0)
             & (jnp.abs(sampled - z) < rel_tol * jnp.maximum(z, 1e-6))
         )
+        violate = (
+            inside
+            & (z > 0)
+            & (sampled > z * (1.0 + free_space_rel))
+        )
         # Implied REF depth from this neighbor: the neighbor's surface
         # point lies along OUR viewing ray (both cameras see the same
         # surface when consistent), so scaling our depth by sampled/z
         # is exactly the depth at which our ray meets the neighbor's
         # surface — no extra gathers, pure elementwise.
         z_implied = dm_ref.depth * (sampled / jnp.maximum(z, 1e-6))
-        return agree, z_implied
+        return agree, violate, z_implied
 
-    agrees, z_imp = jax.vmap(check_one)(dm_nbrs_depth, nbr_poses)  # (M, H, W)
+    agrees, violates, z_imp = jax.vmap(check_one)(
+        dm_nbrs_depth, nbr_poses
+    )  # (M, H, W)
     if nbr_valid is not None:
         # Padded neighbor slots (batched fusion pads every ref's neighbor
         # list to a fixed M) must not vote.
         agrees = agrees & nbr_valid[:, None, None]
+        violates = violates & nbr_valid[:, None, None]
     n_agree = jnp.sum(agrees.astype(jnp.int32), axis=0)
     valid = dm_ref.valid & (n_agree >= min_consistent)
+    if free_space_rel > 0.0:
+        valid = valid & ~jnp.any(violates, axis=0)
     depth = dm_ref.depth
     if fuse_depths:
         af = agrees.astype(depth.dtype)
@@ -490,8 +520,20 @@ def geometric_consistency(
         for _ in range(edge_trim_radius):
             dmax = _pool3(dmax, jax.lax.max)
             dmin = _pool3(dmin, jax.lax.min)
-        edge = (dmax - dmin) > edge_trim_rel * jnp.maximum(depth, 1e-6)
-        valid = valid & ~edge
+        jump = (dmax - dmin) > edge_trim_rel * jnp.maximum(depth, 1e-6)
+        # ASYMMETRIC: trim only the NEAR-depth plateau beside the jump.
+        # Fattening halos sit at the foreground depth over background
+        # pixels (measured: 100% of the surviving >=10% errors were
+        # est < gt), so the near side carries the halo while the far
+        # side is ordinary background — trimming both wastes ~2x the
+        # coverage for no tail benefit. CONFIDENCE RESCUE: true
+        # foreground pixels near the edge sit on strong texture (median
+        # photometric confidence 0.78 vs the halo's 0.60 — halos live on
+        # background pixels whose cost window merely brushes the strip),
+        # so high-confidence near-side pixels are kept.
+        near_side = depth < dmin * (1.0 + edge_trim_rel)
+        rescue = dm_ref.confidence > edge_keep_conf
+        valid = valid & ~(jump & near_side & ~rescue)
     return DepthMap(depth=depth, confidence=dm_ref.confidence, valid=valid)
 
 
@@ -502,12 +544,15 @@ def geometric_consistency(
 # here the chunk's points/colors/valid come back in one transfer.
 @partial(jax.jit, static_argnames=(
     "stride", "geometric_check", "fuse_depths", "edge_trim_rel",
+    "free_space_rel", "edge_trim_radius", "edge_keep_conf",
 ))
 def _fuse_batch(
     depth_b, conf_b, valid_b, pose_b, nbr_depth_b, nbr_pose_b,
     nbr_valid_b, min_cons_b, K, color_b, rel_tol,
     stride: int = 2, geometric_check: bool = True, dist=None,
     fuse_depths: bool = True, edge_trim_rel: float = 0.0,
+    free_space_rel: float = 0.05, edge_trim_radius: int = 2,
+    edge_keep_conf: float = 0.75,
 ):
     def one(d, c, v, pose, nd, npo, nv, mc, color):
         dm = DepthMap(depth=d, confidence=c, valid=v)
@@ -516,7 +561,9 @@ def _fuse_batch(
                 dm, pose, nd, npo, K,
                 rel_tol=rel_tol, min_consistent=mc, dist=dist,
                 nbr_valid=nv, fuse_depths=fuse_depths,
-                edge_trim_rel=edge_trim_rel,
+                edge_trim_rel=edge_trim_rel, free_space_rel=free_space_rel,
+                edge_trim_radius=edge_trim_radius,
+                edge_keep_conf=edge_keep_conf,
             )
         pts, cols, ok = backproject_depth(
             dm, pose, K, color, stride=stride, dist=dist
@@ -589,6 +636,21 @@ def densify_map(
     # exceeds 6% removes them at a few-% coverage cost.
     fuse_depths: bool = True,
     edge_trim_rel: float = 0.06,
+    # Asymmetric near-side trim to radius 6: the fattening halo measured
+    # 2-8 px wide; radius 6 removes it at ~2% GT-valid coverage cost
+    # (full-res GT harness: rel-RMS 1.86% -> 1.30% at coverage 0.81).
+    edge_trim_radius: int = 6,
+    edge_keep_conf: float = 0.75,
+    free_space_rel: float = 0.05,
+    # Consistency checks run against a WIDER neighbor window than the
+    # photometric sweep: the +-num_neighbors sweep neighbors share the
+    # reference's foreground fattening (nearby viewpoints smear the same
+    # depth edge the same way), so their depth maps agree with the
+    # fattened plateau and the free-space veto never fires; +-4-frame
+    # neighbors see the edge from far enough aside to expose it. Their
+    # depth maps are ALREADY computed in pass 1, so widening pass 2
+    # costs only cheap bilinear samples, not sweeps.
+    geo_num_neighbors: int = 4,
     batch: int = 4,
     mesh=None,
     return_depth_maps: bool = False,
@@ -623,12 +685,15 @@ def densify_map(
         batch = max(batch, n_dev)
         batch = ((batch + n_dev - 1) // n_dev) * n_dev
 
-    def neighbors(r, hi=n_total):
+    def neighbors(r, hi=n_total, k=None):
+        k = num_neighbors if k is None else k
         return [
             i
-            for i in range(max(0, r - num_neighbors), min(hi, r + num_neighbors + 1))
+            for i in range(max(0, r - k), min(hi, r + k + 1))
             if i != r
         ]
+
+    geo_k = max(num_neighbors, geo_num_neighbors)
 
     import os as _os
     import time as _time
@@ -686,6 +751,17 @@ def densify_map(
 
     # Pass 2: cross-view consistency + fusion, batched (one dispatch and
     # ONE host transfer per chunk instead of 3 round trips per frame).
+    # Chunk size scales down with the program's (b2 * M2) neighbor-plane
+    # footprint: the depth-fusion consistency program reproducibly
+    # crashed the v5e worker at (4, 4, 648, 968) and (2, 8, 648, 968);
+    # (2, 4, ...) and (1, 8, ...) are clean. Pass 2 is a small fraction
+    # of the MVS wall, so smaller chunks cost little.
+    M2 = 2 * geo_k
+    if mesh is not None:
+        b2 = batch
+    else:
+        plane_budget = 8 * 700 * 1000  # elems: proven-safe envelope
+        b2 = max(1, min(batch, 2, plane_budget // max(M2 * imgs_dev[0].size, 1)))
     depth_stack = jnp.stack([depth_maps[r].depth for r in refs])
     conf_stack = jnp.stack([depth_maps[r].confidence for r in refs])
     valid_stack = jnp.stack([depth_maps[r].valid for r in refs])
@@ -697,21 +773,23 @@ def densify_map(
     all_pts, all_cols = [], []
     filtered: dict[int, DepthMap] = {}
     chunk_results = []
-    for s in range(0, len(refs), batch):
-        chunk = refs[s : s + batch]
-        pad = batch - len(chunk)
+    for s in range(0, len(refs), b2):
+        chunk = refs[s : s + b2]
+        pad = b2 - len(chunk)
         chunk_p = chunk + [chunk[-1]] * pad
         # Pass 2 samples neighbor DEPTH MAPS, which exist only for swept
         # refs — restrict to those (only reachable when max_refs < the
-        # camera count, i.e. warmup; padded slots vote via nbr_valid).
+        # camera count, i.e. warmup; padded slots vote via nbr_valid) —
+        # over the WIDER geo window (see geo_num_neighbors).
         nbrs_l = [
-            [i for i in neighbors(r) if i < n_cams] for r in chunk_p
+            [i for i in neighbors(r, k=geo_k) if i < n_cams]
+            for r in chunk_p
         ]
         nbr_idx = [
-            ((nn or [r]) + [(nn or [r])[0]] * M)[:M]
+            ((nn or [r]) + [(nn or [r])[0]] * M2)[:M2]
             for nn, r in zip(nbrs_l, chunk_p)
         ]
-        nbr_valid = np.zeros((batch, M), bool)
+        nbr_valid = np.zeros((b2, M2), bool)
         for j, nn in enumerate(nbrs_l):
             nbr_valid[j, : len(nn)] = True
         min_cons = jnp.asarray(
@@ -728,6 +806,9 @@ def densify_map(
             jnp.asarray(geo_rel_tol),
             stride=stride, geometric_check=geometric_check, dist=dist,
             fuse_depths=fuse_depths, edge_trim_rel=float(edge_trim_rel),
+            free_space_rel=float(free_space_rel),
+            edge_trim_radius=int(edge_trim_radius),
+            edge_keep_conf=float(edge_keep_conf),
         )
         chunk_results.append((chunk, out))
     if profile:
