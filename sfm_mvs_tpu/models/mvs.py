@@ -568,7 +568,11 @@ def _fuse_batch(
         pts, cols, ok = backproject_depth(
             dm, pose, K, color, stride=stride, dist=dist
         )
-        return pts, cols, ok, dm.valid
+        # dm.depth is the FUSED (multi-view-averaged) depth when
+        # fuse_depths — the depth the emitted cloud is actually built
+        # from; return it so callers evaluating the depth maps score the
+        # same surface the cloud uses (not the noisier pass-1 depth).
+        return pts, cols, ok, dm.valid, dm.depth
 
     return jax.vmap(one)(
         depth_b, conf_b, valid_b, pose_b, nbr_depth_b, nbr_pose_b,
@@ -815,16 +819,17 @@ def densify_map(
         jax.block_until_ready(chunk_results[-1][1][0])
         print(f"[mvs] pass2 fuse dispatch: {_time.time()-t0:.1f}s", flush=True)
         t0 = _time.time()
-    for chunk, (pts_b, cols_b, ok_b, vmap_b) in chunk_results:
+    for chunk, (pts_b, cols_b, ok_b, vmap_b, fused_b) in chunk_results:
         pts_h = np.asarray(pts_b)
         cols_h = np.asarray(cols_b)
         ok_h = np.asarray(ok_b)
         vmap_h = np.asarray(vmap_b)
+        fused_h = np.asarray(fused_b)
         for j, r in enumerate(chunk):
             all_pts.append(pts_h[j][ok_h[j]])
             all_cols.append(cols_h[j][ok_h[j]])
             filtered[r] = DepthMap(
-                depth=depth_maps[r].depth,
+                depth=jnp.asarray(fused_h[j]),
                 confidence=depth_maps[r].confidence,
                 valid=jnp.asarray(vmap_h[j]),
             )
