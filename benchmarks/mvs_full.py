@@ -35,6 +35,10 @@ NUM_DEPTHS = int(os.environ.get("MVS_DEPTHS", "64"))
 STRIDE = int(os.environ.get("MVS_STRIDE", "2"))
 GEO_TOL = float(os.environ.get("MVS_GEO_TOL", "0.02"))
 TRIM_R = int(os.environ.get("MVS_TRIM_R", "6"))
+MIN_CONS = int(os.environ.get("MVS_MIN_CONS", "2"))
+FREE_SPACE = float(os.environ.get("MVS_FREE_SPACE", "0.05"))
+DUMP = os.environ.get("MVS_DUMP", "")  # npz path: per-frame rel-err maps
+MIN_CONF = float(os.environ.get("MVS_MIN_CONF", "0.5"))
 ART = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "artifacts")
 
 
@@ -128,6 +132,8 @@ def main():
         grays, state, num_depths=NUM_DEPTHS, stride=STRIDE,
         images_bgr=bgrs, max_refs=5,
         geo_rel_tol=GEO_TOL, edge_trim_radius=TRIM_R,
+        geo_min_consistent=MIN_CONS, free_space_rel=FREE_SPACE,
+        min_conf=MIN_CONF,
     )
     mvs_compile = time.time() - t0
     log(f"MVS warmup/compile: {mvs_compile:.1f}s")
@@ -136,6 +142,8 @@ def main():
         grays, state, num_depths=NUM_DEPTHS, stride=STRIDE,
         images_bgr=bgrs, return_depth_maps=True,
         geo_rel_tol=GEO_TOL, edge_trim_radius=TRIM_R,
+        geo_min_consistent=MIN_CONS, free_space_rel=FREE_SPACE,
+        min_conf=MIN_CONF,
     )
     mvs_wall = time.time() - t0
     log(f"MVS: {len(pts)} dense points in {mvs_wall:.1f}s "
@@ -148,6 +156,7 @@ def main():
     # honest denominator: background pixels have no GT depth and no
     # photometric signal, so "coverage of all pixels" is capped by the
     # textured fraction of the frame (~0.7 on this scene), not by MVS.
+    dump = {"rel": [], "ok": [], "conf": []} if DUMP else None
     for r, dm in dms.items():
         d_est = np.asarray(dm.depth) * s_align
         v = np.asarray(dm.valid)
@@ -158,6 +167,16 @@ def main():
         covs_gt.append(ok.sum() / max(gt_ok.sum(), 1))
         if ok.sum():
             rels.append((d_est[ok] - d_gt[ok]) / d_gt[ok])
+        if dump is not None:
+            dump["rel"].append(
+                np.where(ok, (d_est - d_gt) / np.maximum(d_gt, 1e-6), 0.0)
+                .astype(np.float32)
+            )
+            dump["ok"].append(ok)
+            dump["conf"].append(np.asarray(dm.confidence).astype(np.float32))
+    if dump is not None:
+        np.savez_compressed(DUMP, **{k: np.stack(a) for k, a in dump.items()})
+        log(f"dumped per-pixel rel-err maps -> {DUMP}")
     rel = np.abs(np.concatenate(rels))
     depth_rel_rms = float(np.sqrt(np.mean(rel**2)))
     depth_rel_med = float(np.median(rel))

@@ -399,8 +399,17 @@ def geometric_consistency(
     edge_trim_radius: int = 2,
     free_space_rel: float = 0.05,
     edge_keep_conf: float = 0.75,
+    min_conf: float = 0.0,
 ) -> DepthMap:
     """Cross-view depth-consistency filter (+ multi-view depth fusion).
+
+    min_conf > 0: PHOTOMETRIC CONFIDENCE FLOOR — drops pixels whose
+    sweep cost-curve peakedness (DepthMap.confidence) is below the
+    floor. Measured on the full-res GT harness (r5 dump analysis): the
+    0.5% of pixels at >5% depth error carry ~80% of the squared error
+    and sit at median confidence 0.59 vs 0.77 overall; a 0.50 floor
+    cuts tail rel-RMS 1.69% -> ~1.42% at ~2.5% coverage cost. The
+    canonical full-res bench runs with 0.5 (benchmarks/mvs_full.py).
 
     Back-projects each reference pixel with its estimated depth, projects
     the 3D point into every neighbor, samples the neighbor's depth map
@@ -507,6 +516,8 @@ def geometric_consistency(
     valid = dm_ref.valid & (n_agree >= min_consistent)
     if free_space_rel > 0.0:
         valid = valid & ~jnp.any(violates, axis=0)
+    if min_conf > 0.0:
+        valid = valid & (dm_ref.confidence > min_conf)
     depth = dm_ref.depth
     if fuse_depths:
         af = agrees.astype(depth.dtype)
@@ -544,7 +555,7 @@ def geometric_consistency(
 # here the chunk's points/colors/valid come back in one transfer.
 @partial(jax.jit, static_argnames=(
     "stride", "geometric_check", "fuse_depths", "edge_trim_rel",
-    "free_space_rel", "edge_trim_radius", "edge_keep_conf",
+    "free_space_rel", "edge_trim_radius", "edge_keep_conf", "min_conf",
 ))
 def _fuse_batch(
     depth_b, conf_b, valid_b, pose_b, nbr_depth_b, nbr_pose_b,
@@ -552,7 +563,7 @@ def _fuse_batch(
     stride: int = 2, geometric_check: bool = True, dist=None,
     fuse_depths: bool = True, edge_trim_rel: float = 0.0,
     free_space_rel: float = 0.05, edge_trim_radius: int = 2,
-    edge_keep_conf: float = 0.75,
+    edge_keep_conf: float = 0.75, min_conf: float = 0.0,
 ):
     def one(d, c, v, pose, nd, npo, nv, mc, color):
         dm = DepthMap(depth=d, confidence=c, valid=v)
@@ -563,7 +574,7 @@ def _fuse_batch(
                 nbr_valid=nv, fuse_depths=fuse_depths,
                 edge_trim_rel=edge_trim_rel, free_space_rel=free_space_rel,
                 edge_trim_radius=edge_trim_radius,
-                edge_keep_conf=edge_keep_conf,
+                edge_keep_conf=edge_keep_conf, min_conf=min_conf,
             )
         pts, cols, ok = backproject_depth(
             dm, pose, K, color, stride=stride, dist=dist
@@ -655,6 +666,9 @@ def densify_map(
     # depth maps are ALREADY computed in pass 1, so widening pass 2
     # costs only cheap bilinear samples, not sweeps.
     geo_num_neighbors: int = 4,
+    # Photometric confidence floor (see geometric_consistency.min_conf);
+    # 0.0 = off. The canonical full-res bench runs 0.5.
+    min_conf: float = 0.0,
     batch: int = 4,
     mesh=None,
     return_depth_maps: bool = False,
@@ -813,6 +827,7 @@ def densify_map(
             free_space_rel=float(free_space_rel),
             edge_trim_radius=int(edge_trim_radius),
             edge_keep_conf=float(edge_keep_conf),
+            min_conf=float(min_conf),
         )
         chunk_results.append((chunk, out))
     if profile:
